@@ -1,0 +1,43 @@
+"""Configuration dataclasses for the decode path and estimator.
+
+The decode thresholds replicate the constants in the reference native
+decoder ``tf_pose/pafprocess/pafprocess.h``:
+``THRESH_HEAT 0.05``, ``THRESH_VECTOR_SCORE 0.05``,
+``THRESH_VECTOR_CNT1 8``, ``THRESH_PART_CNT 4``,
+``THRESH_HUMAN_SCORE 0.4``, ``STEP_PAF 10``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeParams:
+    """Static decode configuration; every field is a compile-time constant."""
+
+    thresh_heat: float = 0.05
+    thresh_vector_score: float = 0.05
+    thresh_vector_cnt1: int = 8
+    thresh_part_cnt: int = 4
+    thresh_human_score: float = 0.4
+    step_paf: int = 10
+    # TPU-native fixed-shape parameters (the reference's native decoder is
+    # dynamically sized; on TPU we pad to static bounds):
+    max_peaks: int = 32          # max peaks kept per part channel
+    max_humans: int = 32         # max humans returned
+    # Gaussian smoothing (reference Smoother(..., 25, 3.0)):
+    smooth_kernel_size: int = 25
+    smooth_sigma: float = 3.0
+    # NMS window (reference tf.nn.pool (3,3) MAX):
+    nms_window: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    """Static estimator configuration (reference TfPoseEstimator ctor args)."""
+
+    target_size: tuple = (432, 368)   # (w, h), reference default for run.py
+    upsample_ratio: float = 4.0       # reference --resize-out-ratio default
+    decode: DecodeParams = DecodeParams()
+    backbone_dtype: str = "float32"   # "bfloat16" for TPU speed runs

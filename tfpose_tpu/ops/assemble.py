@@ -1,0 +1,174 @@
+"""Limb-to-human assembly as fixed-shape, jittable label propagation.
+
+The reference merges greedy connections into "subset" rows with a
+sequential, dynamically-sized loop (``pafprocess.cpp`` step 4). The
+result of that loop — for the non-degenerate inputs the greedy step
+produces — is the partition of peaks into connected components of the
+connection graph, with per-human score = sum of connection scores plus
+the scores of the member peaks.
+
+On TPU we compute exactly that with static shapes:
+  1. nodes = (18 parts x K slots); edges = accepted connections;
+  2. min-label propagation (scatter-min, fixed iteration count >= graph
+     diameter) finds connected components;
+  3. segment reductions produce per-component part counts and scores;
+  4. components failing the reference thresholds (part count <
+     THRESH_PART_CNT, mean score < THRESH_HUMAN_SCORE) are dropped, and
+     the rest are compacted into (max_humans, 18, ...) padded outputs.
+
+Because limb pairs 0..16 form a spanning tree of the 18 parts, every
+accepted tree-pair connection is "applied" by the reference's merge loop
+(create / extend / disjoint-merge) exactly once, so component score =
+sum of applied connection scores + member peak scores and part count =
+member count. Only the two redundant ear<->shoulder pairs (17, 18) can
+hit the reference's skip branches; we replicate its applied-edge rule:
+a pair-17/18 connection counts iff its shoulder endpoint already
+belongs to a component and the two endpoints are not yet connected.
+
+Known divergence from the reference (documented, tested): when a cycle
+in the ear/shoulder pairs puts two peaks of the same part into one
+component, the reference keeps the first-merged cid while we keep the
+higher-scoring peak. This cannot move any keypoint by more than the
+distance between two true detections of the same part and does not
+occur on well-formed inputs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tfpose_tpu.core.config import DecodeParams
+from tfpose_tpu.core.topology import NUM_PARTS, pairs_array
+from tfpose_tpu.ops.nms import Peaks
+from tfpose_tpu.ops.paf import Connections
+
+_LABEL_ITERS = 20  # >= skeleton graph diameter (18 parts, tree-ish)
+
+
+class Assembled(NamedTuple):
+    """Padded decode result (pre-normalisation, heatmap pixel coords)."""
+
+    coords: jnp.ndarray        # (max_humans, 18, 2) float32 (x, y), -1 pad
+    part_scores: jnp.ndarray   # (max_humans, 18) float32
+    part_valid: jnp.ndarray    # (max_humans, 18) bool
+    human_scores: jnp.ndarray  # (max_humans,) float32  (score sum / count)
+    human_valid: jnp.ndarray   # (max_humans,) bool
+
+
+def assemble(peaks: Peaks, conns: Connections,
+             params: DecodeParams) -> Assembled:
+    num_parts = NUM_PARTS
+    k = peaks.x.shape[1]
+    n = num_parts * k
+    pairs = pairs_array()  # numpy (19, 2), trace-time constant
+    max_h = params.max_humans
+
+    # ---- node tables (N,)
+    node_part = jnp.asarray(
+        np.repeat(np.arange(num_parts, dtype=np.int32), k))
+    node_x = peaks.x.reshape(n).astype(jnp.float32)
+    node_y = peaks.y.reshape(n).astype(jnp.float32)
+    node_score = peaks.score.reshape(n)
+
+    # ---- edge tables (E,) with E = 19 * K
+    a_part = jnp.asarray(np.repeat(pairs[:, 0], k))  # (E,)
+    b_part = jnp.asarray(np.repeat(pairs[:, 1], k))
+    a_node = a_part * k + jnp.maximum(conns.a_slot.reshape(-1), 0)
+    b_node = b_part * k + jnp.maximum(conns.b_slot.reshape(-1), 0)
+    e_score = conns.score.reshape(-1)
+    e_valid = conns.valid.reshape(-1)
+    # route invalid edges to a dummy self-loop on node 0 with zero weight
+    a_node = jnp.where(e_valid, a_node, 0)
+    b_node = jnp.where(e_valid, b_node, 0)
+    # pair id of each edge row (trace-time constant)
+    e_pair = jnp.asarray(
+        np.repeat(np.arange(pairs.shape[0], dtype=np.int32), k))
+
+    def propagate(active):
+        an = jnp.where(active, a_node, 0)
+        bn = jnp.where(active, b_node, 0)
+        labels = jnp.arange(n, dtype=jnp.int32)
+        for _ in range(_LABEL_ITERS):
+            m = jnp.minimum(labels[an], labels[bn])
+            labels = labels.at[an].min(m)
+            labels = labels.at[bn].min(m)
+            # path-compress one hop to speed convergence
+            labels = labels[labels]
+        return labels[labels]
+
+    def members(active):
+        used_ = jnp.zeros(n, bool)
+        used_ = used_.at[jnp.where(active, a_node, n - 1)].max(active)
+        used_ = used_.at[jnp.where(active, b_node, n - 1)].max(active)
+        return used_
+
+    # ---- replicate the reference's applied-edge rule for the redundant
+    # ear<->shoulder pairs (17, 18); tree pairs 0..16 always apply.
+    tree = e_valid & (e_pair < 17)
+    root0 = propagate(tree)
+    used0 = members(tree)
+    is17 = e_valid & (e_pair == 17)
+    applied17 = is17 & used0[a_node] & (root0[a_node] != root0[b_node])
+    root1 = propagate(tree | applied17)
+    used1 = members(tree | applied17)
+    is18 = e_valid & (e_pair == 18)
+    applied18 = is18 & used1[a_node] & (root1[a_node] != root1[b_node])
+
+    e_applied = tree | applied17 | applied18
+    root = propagate(e_applied)
+    used = members(e_applied)
+    e_valid = e_applied
+
+    # ---- per-root aggregates
+    edge_root = root[a_node]
+    score_sum = jnp.zeros(n, jnp.float32)
+    score_sum = score_sum.at[edge_root].add(
+        jnp.where(e_valid, e_score, 0.0))
+    score_sum = score_sum.at[root].add(jnp.where(used, node_score, 0.0))
+    count = jnp.zeros(n, jnp.int32)
+    count = count.at[root].add(used.astype(jnp.int32))
+
+    is_root = used & (root == jnp.arange(n, dtype=jnp.int32))
+    mean = score_sum / jnp.maximum(count, 1).astype(jnp.float32)
+    keep = (is_root
+            & (count >= params.thresh_part_cnt)
+            & (mean >= params.thresh_human_score))
+
+    # ---- compact roots to human indices (node-id order)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    human_of_root = jnp.where(keep & (rank < max_h), rank, max_h)
+
+    # ---- resolve duplicate (root, part) by max score, tie -> min node id
+    best = jnp.full((n, num_parts), -jnp.inf, jnp.float32)
+    best = best.at[root, node_part].max(
+        jnp.where(used, node_score, -jnp.inf))
+    is_best = used & (node_score >= best[root, node_part])
+    min_id = jnp.full((n, num_parts), n, jnp.int32)
+    min_id = min_id.at[root, node_part].min(
+        jnp.where(is_best, jnp.arange(n, dtype=jnp.int32), n))
+    winner = is_best & (jnp.arange(n, dtype=jnp.int32)
+                        == min_id[root, node_part])
+
+    # ---- scatter winners into padded output
+    out_h = jnp.where(winner, human_of_root[root], max_h)
+    coords = jnp.full((max_h, num_parts, 2), -1.0, jnp.float32)
+    coords = coords.at[out_h, node_part, 0].set(node_x, mode="drop")
+    coords = coords.at[out_h, node_part, 1].set(node_y, mode="drop")
+    part_scores = jnp.zeros((max_h, num_parts), jnp.float32)
+    part_scores = part_scores.at[out_h, node_part].set(
+        node_score, mode="drop")
+    part_valid = jnp.zeros((max_h, num_parts), bool)
+    part_valid = part_valid.at[out_h, node_part].set(winner, mode="drop")
+
+    human_scores = jnp.zeros(max_h, jnp.float32)
+    human_scores = human_scores.at[human_of_root].set(
+        jnp.where(keep, mean, 0.0), mode="drop")
+    human_valid = jnp.zeros(max_h, bool)
+    human_valid = human_valid.at[human_of_root].set(keep, mode="drop")
+
+    return Assembled(coords=coords, part_scores=part_scores,
+                     part_valid=part_valid, human_scores=human_scores,
+                     human_valid=human_valid)

@@ -1,0 +1,136 @@
+"""PAF line-integral candidate scoring and greedy connection selection.
+
+TPU-native reformulation of the reference native decoder's steps 2-3
+(``tf_pose/pafprocess/pafprocess.cpp``): every (peak_a, peak_b) candidate
+of every limb pair is scored in one batched computation —
+(pairs, K, K, step_paf) sample points, a single flat gather from the PAF
+map, and vectorised reductions. Greedy non-conflicting selection is an
+iterated masked argmax, vmapped over pairs; it provably selects the same
+connection set as the reference's sort-then-skip-conflicts loop.
+
+Sampling matches the reference exactly: sample i (0 <= i < STEP_PAF) at
+round_half_up(a + i * (b - a) / STEP_PAF); score = dot(PAF, unit dir);
+criterion1 = #(samples > THRESH_VECTOR_SCORE) > THRESH_VECTOR_CNT1;
+criterion2 = mean + min(0, 0.5 * H / dist - 1) > 0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfpose_tpu.core.config import DecodeParams
+from tfpose_tpu.core.topology import pairs_array, paf_channels_array
+from tfpose_tpu.ops.nms import Peaks
+
+
+class Candidates(NamedTuple):
+    """Per-pair candidate scores; arrays are (num_pairs, K, K)."""
+
+    score: jnp.ndarray   # criterion2 (length-penalised mean PAF score)
+    ok: jnp.ndarray      # bool: passes both criteria and endpoints valid
+
+
+class Connections(NamedTuple):
+    """Greedy-selected connections; arrays are (num_pairs, K)."""
+
+    a_slot: jnp.ndarray  # int32 slot into peaks of part pairs[p][0]
+    b_slot: jnp.ndarray  # int32 slot into peaks of part pairs[p][1]
+    score: jnp.ndarray   # float32 connection score
+    valid: jnp.ndarray   # bool
+
+
+def score_candidates(peaks: Peaks, paf_up: jnp.ndarray,
+                     params: DecodeParams) -> Candidates:
+    """Score all candidates. ``paf_up``: (H, W, 38) upsampled PAF map."""
+    pairs = jnp.asarray(pairs_array())          # (19, 2)
+    paf_ch = jnp.asarray(paf_channels_array())  # (19, 2)
+    h, w, _ = paf_up.shape
+    k = peaks.x.shape[1]
+
+    # gather endpoint peaks per pair: (19, K)
+    ax = peaks.x[pairs[:, 0]].astype(jnp.float32)
+    ay = peaks.y[pairs[:, 0]].astype(jnp.float32)
+    av = peaks.valid[pairs[:, 0]]
+    bx = peaks.x[pairs[:, 1]].astype(jnp.float32)
+    by = peaks.y[pairs[:, 1]].astype(jnp.float32)
+    bv = peaks.valid[pairs[:, 1]]
+
+    # (19, K, K) candidate geometry: a varies over axis 1, b over axis 2
+    dx = bx[:, None, :] - ax[:, :, None]
+    dy = by[:, None, :] - ay[:, :, None]
+    norm = jnp.sqrt(dx * dx + dy * dy)
+    safe = norm > 1e-12
+    inv = jnp.where(safe, 1.0 / jnp.maximum(norm, 1e-12), 0.0)
+    vx = dx * inv
+    vy = dy * inv
+
+    # sample points: (19, K, K, S)
+    steps = jnp.arange(params.step_paf, dtype=jnp.float32) / params.step_paf
+    sx = ax[:, :, None, None] + dx[..., None] * steps
+    sy = ay[:, :, None, None] + dy[..., None] * steps
+    # reference roundpaf: floor(v + 0.5) (round half up, coords >= 0)
+    ix = jnp.floor(sx + 0.5).astype(jnp.int32)
+    iy = jnp.floor(sy + 0.5).astype(jnp.int32)
+    ix = jnp.clip(ix, 0, w - 1)
+    iy = jnp.clip(iy, 0, h - 1)
+
+    # one flat gather for both PAF channels: linear idx into (H*W*38)
+    paf_flat = paf_up.reshape(-1)
+    base = (iy * w + ix) * 38
+    px = paf_flat[base + paf_ch[:, 0][:, None, None, None]]
+    py = paf_flat[base + paf_ch[:, 1][:, None, None, None]]
+    s = vx[..., None] * px + vy[..., None] * py  # (19, K, K, S)
+
+    cnt = jnp.sum(s > params.thresh_vector_score, axis=-1)
+    mean = jnp.mean(s, axis=-1)
+    penalty = jnp.minimum(0.0, 0.5 * h / jnp.maximum(norm, 1e-12) - 1.0)
+    criterion2 = mean + penalty
+    ok = ((cnt > params.thresh_vector_cnt1)
+          & (criterion2 > 0.0)
+          & safe
+          & av[:, :, None] & bv[:, None, :])
+    return Candidates(score=criterion2, ok=ok)
+
+
+def greedy_connections(cands: Candidates,
+                       params: DecodeParams) -> Connections:
+    """Greedy non-conflicting selection per pair (vmapped masked argmax).
+
+    Equivalent to the reference's score-descending scan that skips
+    candidates whose endpoint is already used: the t-th masked argmax is
+    exactly the t-th accepted candidate of that scan.
+    """
+    k = cands.score.shape[-1]
+    neg = jnp.float32(-jnp.inf)
+
+    def per_pair(score_kk, ok_kk):
+        def body(t, carry):
+            used_a, used_b, a_sl, b_sl, sc, val = carry
+            masked = jnp.where(
+                ok_kk & ~used_a[:, None] & ~used_b[None, :], score_kk, neg)
+            flat = masked.reshape(-1)
+            arg = jnp.argmax(flat)
+            best = flat[arg]
+            ai = (arg // k).astype(jnp.int32)
+            bi = (arg % k).astype(jnp.int32)
+            take = best > neg
+            used_a = used_a.at[ai].set(used_a[ai] | take)
+            used_b = used_b.at[bi].set(used_b[bi] | take)
+            a_sl = a_sl.at[t].set(jnp.where(take, ai, -1))
+            b_sl = b_sl.at[t].set(jnp.where(take, bi, -1))
+            sc = sc.at[t].set(jnp.where(take, best, 0.0))
+            val = val.at[t].set(take)
+            return used_a, used_b, a_sl, b_sl, sc, val
+
+        init = (jnp.zeros(k, bool), jnp.zeros(k, bool),
+                jnp.full(k, -1, jnp.int32), jnp.full(k, -1, jnp.int32),
+                jnp.zeros(k, jnp.float32), jnp.zeros(k, bool))
+        _, _, a_sl, b_sl, sc, val = jax.lax.fori_loop(0, k, body, init)
+        return a_sl, b_sl, sc, val
+
+    a_sl, b_sl, sc, val = jax.vmap(per_pair)(cands.score, cands.ok)
+    return Connections(a_slot=a_sl, b_slot=b_sl, score=sc, valid=val)

@@ -1,0 +1,136 @@
+"""Synthetic multi-person scene renderer for tests and benchmarks.
+
+Generates ground-truth skeletons and rasterises them into the network's
+output format — 19 heatmap channels (Gaussian splats + background) and
+38 PAF channels (unit vectors along limbs) at stride-8 resolution — the
+same target construction the reference trainer uses
+(``tf_pose/pose_dataset.py:~60-160`` get_heatmap / get_vectormap), here
+reused to create known-good decoder inputs without COCO data.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from tfpose_tpu.core.topology import (
+    NUM_HEATMAP_CH,
+    NUM_PAF_CH,
+    NUM_PAIRS,
+    NUM_PARTS,
+    pairs_array,
+    paf_channels_array,
+)
+
+# Canonical standing pose, (x, y) in a unit box, 18 parts in CocoPart order.
+_TEMPLATE = np.array([
+    [0.50, 0.10],  # Nose
+    [0.50, 0.22],  # Neck
+    [0.38, 0.22],  # RShoulder
+    [0.34, 0.40],  # RElbow
+    [0.32, 0.56],  # RWrist
+    [0.62, 0.22],  # LShoulder
+    [0.66, 0.40],  # LElbow
+    [0.68, 0.56],  # LWrist
+    [0.42, 0.55],  # RHip
+    [0.41, 0.75],  # RKnee
+    [0.40, 0.95],  # RAnkle
+    [0.58, 0.55],  # LHip
+    [0.59, 0.75],  # LKnee
+    [0.60, 0.95],  # LAnkle
+    [0.46, 0.07],  # REye
+    [0.54, 0.07],  # LEye
+    [0.42, 0.10],  # REar
+    [0.58, 0.10],  # LEar
+], dtype=np.float64)
+
+
+def random_people(rng: np.random.Generator, n_people: int,
+                  h: int, w: int, jitter: float = 0.02,
+                  drop_prob: float = 0.0) -> np.ndarray:
+    """(n_people, 18, 2) float pixel coords; NaN marks dropped parts."""
+    people = []
+    for _ in range(n_people):
+        scale = rng.uniform(0.35, 0.8)
+        pts = _TEMPLATE.copy()
+        pts = (pts - 0.5) * scale
+        cx = rng.uniform(0.25, 0.75)
+        cy = rng.uniform(0.3, 0.7)
+        pts[:, 0] = (pts[:, 0] + cx) * (w - 1)
+        pts[:, 1] = (pts[:, 1] + cy) * (h - 1)
+        pts += rng.normal(0.0, jitter * scale * min(h, w), pts.shape)
+        pts[:, 0] = np.clip(pts[:, 0], 0, w - 1)
+        pts[:, 1] = np.clip(pts[:, 1], 0, h - 1)
+        if drop_prob > 0:
+            drop = rng.uniform(size=NUM_PARTS) < drop_prob
+            pts[drop] = np.nan
+        people.append(pts)
+    return np.stack(people) if people else np.zeros((0, NUM_PARTS, 2))
+
+
+def render_heatmap(people: np.ndarray, h: int, w: int,
+                   sigma: float = 1.8) -> np.ndarray:
+    """(H, W, 19) Gaussian-splat heatmaps; ch 18 = 1 - max(parts)."""
+    heat = np.zeros((h, w, NUM_HEATMAP_CH), dtype=np.float64)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for person in people:
+        for part in range(NUM_PARTS):
+            px, py = person[part]
+            if np.isnan(px):
+                continue
+            g = np.exp(-((xx - px) ** 2 + (yy - py) ** 2) / (2 * sigma ** 2))
+            np.maximum(heat[:, :, part], g, out=heat[:, :, part])
+    heat[:, :, NUM_PARTS] = 1.0 - heat[:, :, :NUM_PARTS].max(axis=2)
+    return heat
+
+
+def render_paf(people: np.ndarray, h: int, w: int,
+               limb_width: float = 1.5) -> np.ndarray:
+    """(H, W, 38) part-affinity fields: count-normalised unit vectors
+    within ``limb_width`` of each limb segment."""
+    pairs = pairs_array()
+    paf_ch = paf_channels_array()
+    paf = np.zeros((h, w, NUM_PAF_CH), dtype=np.float64)
+    counts = np.zeros((h, w, NUM_PAIRS), dtype=np.float64)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for person in people:
+        for pid in range(NUM_PAIRS):
+            p1, p2 = pairs[pid]
+            a, b = person[p1], person[p2]
+            if np.isnan(a[0]) or np.isnan(b[0]):
+                continue
+            d = b - a
+            norm = np.hypot(d[0], d[1])
+            if norm < 1e-6:
+                continue
+            v = d / norm
+            # distance from pixel to segment
+            rel_x = xx - a[0]
+            rel_y = yy - a[1]
+            t = np.clip((rel_x * v[0] + rel_y * v[1]) / norm, 0.0, 1.0)
+            dist = np.hypot(rel_x - t * d[0], rel_y - t * d[1])
+            mask = dist <= limb_width
+            cx, cy = paf_ch[pid]
+            paf[:, :, cx] += np.where(mask, v[0], 0.0)
+            paf[:, :, cy] += np.where(mask, v[1], 0.0)
+            counts[:, :, pid] += mask
+    for pid in range(NUM_PAIRS):
+        cx, cy = paf_ch[pid]
+        c = np.maximum(counts[:, :, pid], 1.0)
+        paf[:, :, cx] /= c
+        paf[:, :, cy] /= c
+    return paf
+
+
+def render_scene(rng: np.random.Generator, n_people: int, h: int, w: int,
+                 sigma: float = 1.8, limb_width: float = 1.5,
+                 drop_prob: float = 0.0, noise: float = 0.0):
+    """Returns (net_out57 float32 (h, w, 57), people (n, 18, 2))."""
+    people = random_people(rng, n_people, h, w, drop_prob=drop_prob)
+    heat = render_heatmap(people, h, w, sigma)
+    paf = render_paf(people, h, w, limb_width)
+    out = np.concatenate([heat, paf], axis=2)
+    if noise > 0:
+        out = out + rng.normal(0.0, noise, out.shape)
+    return out.astype(np.float32), people
