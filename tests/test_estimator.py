@@ -1,0 +1,73 @@
+"""TfPoseEstimator facade tests (reference API surface)."""
+
+import numpy as np
+import pytest
+
+from tfpose_tpu.estimator import TfPoseEstimator
+
+
+@pytest.fixture(scope="module")
+def estimator():
+    # small target size keeps CPU test time sane
+    return TfPoseEstimator("mobilenet_thin", target_size=(96, 80))
+
+
+def test_inference_returns_humans_list(estimator):
+    img = np.random.default_rng(0).integers(
+        0, 255, (80, 96, 3), np.uint8)
+    humans = estimator.inference(img, resize_to_default=False,
+                                 upsample_size=4.0)
+    assert isinstance(humans, list)
+    # random-init network: humans may or may not appear, but all must be
+    # well-formed
+    for h in humans:
+        assert 0 <= h.score
+        for p, bp in h.body_parts.items():
+            assert 0.0 <= bp.x <= 1.0 and 0.0 <= bp.y <= 1.0
+            assert bp.part_idx == p
+
+
+def test_inference_resizes_input(estimator):
+    img = np.zeros((200, 300, 3), np.uint8)
+    humans = estimator.inference(img, resize_to_default=True,
+                                 upsample_size=2.0)
+    assert isinstance(humans, list)
+    assert estimator.heatMat is not None
+    # upsample dims = target/8 * ratio
+    assert estimator.heatMat.shape[:2] == (80 // 8 * 2, 96 // 8 * 2)
+    assert estimator.pafMat.shape[2] == 38
+
+
+def test_inference_batch(estimator):
+    imgs = [np.zeros((80, 96, 3), np.uint8) for _ in range(3)]
+    results = estimator.inference_batch(imgs, upsample_size=2.0)
+    assert len(results) == 3
+    assert all(isinstance(r, list) for r in results)
+
+
+def test_invalid_image_raises(estimator):
+    with pytest.raises(Exception):
+        estimator.inference(None)
+
+
+def test_draw_humans_smoke(estimator):
+    img = np.random.default_rng(1).integers(
+        0, 255, (80, 96, 3), np.uint8)
+    humans = estimator.inference(img, resize_to_default=False,
+                                 upsample_size=4.0)
+    out = TfPoseEstimator.draw_humans(img, humans, imgcopy=True)
+    assert out.shape == img.shape
+
+
+def test_video_pipeline_order(estimator):
+    from tfpose_tpu.pipeline.video import VideoPipeline
+
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 255, (80, 96, 3), np.uint8)
+              for _ in range(5)]
+    pipe = VideoPipeline(estimator, upsample_size=2.0, depth=2)
+    out = list(pipe.run(iter(frames)))
+    assert len(out) == 5
+    for (f, humans), orig in zip(out, frames):
+        assert f is orig
+        assert isinstance(humans, list)

@@ -1,0 +1,171 @@
+"""COCO keypoint evaluation — reference ``tf_pose/eval.py``.
+
+``write_coco_json`` maps the 18-part model back to COCO-17 keypoint
+order with per-part scores. AP computation uses pycocotools when
+available; otherwise a self-contained OKS-based COCOeval-keypoints
+reimplementation (same OKS kappas, same 0.50:0.95 thresholds, same
+101-point interpolated AP) so the gate runs in this hermetic image.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from tfpose_tpu.core.topology import COCO17_FROM_MODEL18
+from tfpose_tpu.core.types import Human
+
+# per-keypoint OKS constants (COCOeval kpt_oks_sigmas)
+OKS_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62, 1.07, 1.07,
+    .87, .87, .89, .89]) / 10.0
+
+
+def write_coco_json(human: Human, image_w: int, image_h: int) -> List[float]:
+    """Human -> 51-float COCO keypoint triplets (reference function)."""
+    keypoints = []
+    for coco_id in range(17):
+        part = int(COCO17_FROM_MODEL18[coco_id])
+        if part not in human.body_parts:
+            keypoints.extend([0, 0, 0])
+            continue
+        bp = human.body_parts[part]
+        keypoints.extend([
+            round(bp.x * image_w, 3), round(bp.y * image_h, 3), 2])
+    return keypoints
+
+
+def humans_to_detections(humans: Sequence[Human], image_id: int,
+                         image_w: int, image_h: int) -> List[dict]:
+    out = []
+    for h in humans:
+        out.append({
+            "image_id": image_id,
+            "category_id": 1,
+            "keypoints": write_coco_json(h, image_w, image_h),
+            "score": float(h.score),
+        })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# self-contained OKS AP (COCOeval 'keypoints' protocol)
+# ---------------------------------------------------------------------------
+
+def oks(gt_kp: np.ndarray, gt_area: float, dt_kp: np.ndarray) -> float:
+    """Object keypoint similarity between one GT (17,3 with v flags) and
+    one detection (17,3)."""
+    vis = gt_kp[:, 2] > 0
+    if not vis.any():
+        return 0.0
+    d2 = ((gt_kp[vis, 0] - dt_kp[vis, 0]) ** 2
+          + (gt_kp[vis, 1] - dt_kp[vis, 1]) ** 2)
+    var = (2 * OKS_SIGMAS[vis]) ** 2
+    s = max(gt_area, 1e-6)
+    e = d2 / var / (s * 2.0)
+    return float(np.mean(np.exp(-e)))
+
+
+def evaluate_oks_ap(gts: Dict[int, List[dict]], dts: List[dict],
+                    max_dets: int = 20) -> Dict[str, float]:
+    """COCOeval-keypoints protocol: greedy per-image OKS matching at
+    thresholds 0.50:0.05:0.95, 101-point interpolated AP over score-
+    ranked detections.
+
+    ``gts``: image_id -> list of {'keypoints': 51 floats, 'area': float}
+    ``dts``: list of detection dicts from humans_to_detections.
+    """
+    thresholds = np.arange(0.5, 1.0, 0.05)
+    # organise detections by image, sort by score desc (COCO protocol)
+    dt_by_img: Dict[int, List[dict]] = {}
+    for d in dts:
+        dt_by_img.setdefault(d["image_id"], []).append(d)
+    for img_id in dt_by_img:
+        dt_by_img[img_id] = sorted(dt_by_img[img_id],
+                                   key=lambda d: -d["score"])[:max_dets]
+
+    n_gt = sum(len(v) for v in gts.values())
+    if n_gt == 0:
+        return {"AP": 0.0, "AP50": 0.0, "AP75": 0.0, "AR": 0.0}
+
+    # per-threshold match flags over all detections (score-ranked)
+    all_scores: List[float] = []
+    all_matches: List[np.ndarray] = []  # (T,) bool per det
+    for img_id, dets in dt_by_img.items():
+        gt_list = gts.get(img_id, [])
+        gt_kps = [np.asarray(g["keypoints"], np.float64).reshape(17, 3)
+                  for g in gt_list]
+        gt_areas = [float(g.get("area", 1.0)) for g in gt_list]
+        ious = np.zeros((len(dets), len(gt_list)))
+        for di, det in enumerate(dets):
+            dt_kp = np.asarray(det["keypoints"], np.float64).reshape(17, 3)
+            for gi in range(len(gt_list)):
+                ious[di, gi] = oks(gt_kps[gi], gt_areas[gi], dt_kp)
+        for di, det in enumerate(dets):
+            matched = np.zeros(len(thresholds), bool)
+            all_scores.append(det["score"])
+            all_matches.append(matched)
+        # greedy matching per threshold (COCO: iterate dets by score,
+        # each picks best unmatched gt above threshold)
+        base = len(all_matches) - len(dets)
+        for ti, t in enumerate(thresholds):
+            used = np.zeros(len(gt_list), bool)
+            for di in range(len(dets)):
+                best, best_gi = t, -1
+                for gi in range(len(gt_list)):
+                    if used[gi] or ious[di, gi] < best:
+                        continue
+                    best, best_gi = ious[di, gi], gi
+                if best_gi >= 0:
+                    used[best_gi] = True
+                    all_matches[base + di][ti] = True
+
+    order = np.argsort(-np.asarray(all_scores), kind="stable")
+    matches = np.stack(all_matches)[order] if all_matches else \
+        np.zeros((0, len(thresholds)), bool)
+
+    aps, ars = [], []
+    for ti in range(len(thresholds)):
+        tp = np.cumsum(matches[:, ti])
+        fp = np.cumsum(~matches[:, ti])
+        recall = tp / n_gt
+        precision = tp / np.maximum(tp + fp, 1)
+        # 101-point interpolation
+        prec_interp = np.zeros(101)
+        if len(recall):
+            # precision envelope
+            for i in range(len(precision) - 2, -1, -1):
+                precision[i] = max(precision[i], precision[i + 1])
+            idx = np.searchsorted(recall, np.linspace(0, 1, 101),
+                                  side="left")
+            valid = idx < len(precision)
+            prec_interp[valid] = precision[idx[valid]]
+        aps.append(prec_interp.mean())
+        ars.append(recall[-1] if len(recall) else 0.0)
+
+    return {
+        "AP": float(np.mean(aps)),
+        "AP50": float(aps[0]),
+        "AP75": float(aps[5]),
+        "AR": float(np.mean(ars)),
+    }
+
+
+def evaluate_with_pycocotools(gt_json: str, dets: List[dict]
+                              ) -> Optional[Dict[str, float]]:
+    """Use pycocotools when present (exact reference numbers)."""
+    try:
+        from pycocotools.coco import COCO
+        from pycocotools.cocoeval import COCOeval
+    except ImportError:
+        return None
+    coco_gt = COCO(gt_json)
+    coco_dt = coco_gt.loadRes(dets)
+    ev = COCOeval(coco_gt, coco_dt, "keypoints")
+    ev.evaluate()
+    ev.accumulate()
+    ev.summarize()
+    return {"AP": ev.stats[0], "AP50": ev.stats[1], "AP75": ev.stats[2],
+            "AR": ev.stats[5]}

@@ -1,0 +1,73 @@
+"""Train state + jittable train step (reference ``tf_pose/train.py``
+semantics: stage-summed L2 loss, Adam with exponential LR decay,
+multi-device data parallelism — towers replaced by mesh sharding)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from tfpose_tpu.train.loss import stage_l2_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, variables: Dict[str, Any], tx: optax.GradientTransformation):
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params))
+
+
+def make_optimizer(lr: float = 1e-4, decay_rate: float = 0.33,
+                   decay_steps: int = 10000) -> optax.GradientTransformation:
+    """Adam with exponential decay (reference train.py defaults)."""
+    sched = optax.exponential_decay(lr, decay_steps, decay_rate,
+                                    staircase=True)
+    return optax.adam(sched)
+
+
+def make_train_step(model, tx: optax.GradientTransformation):
+    """Returns jittable ``train_step(state, batch) -> (state, metrics)``.
+
+    ``batch``: dict with 'image' (N,H,W,3) float, 'heat' (N,H/8,W/8,19),
+    'paf' (N,H/8,W/8,38). Works unsharded on one chip or with mesh-
+    sharded batches (XLA all-reduces gradients over the mesh).
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out, mutated = model.apply(
+            variables, batch["image"], train=True,
+            mutable=["batch_stats"] if batch_stats else [])
+        loss, metrics = stage_l2_loss(out["stages"], batch["paf"],
+                                      batch["heat"])
+        new_stats = mutated.get("batch_stats", batch_stats) \
+            if batch_stats else {}
+        return loss, (metrics, new_stats)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats,
+                                  opt_state=new_opt)
+        return new_state, metrics
+
+    return train_step
