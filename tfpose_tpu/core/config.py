@@ -31,6 +31,9 @@ class DecodeParams:
     smooth_sigma: float = 3.0
     # NMS window (reference tf.nn.pool (3,3) MAX):
     nms_window: int = 3
+    # Pallas fused smooth+NMS kernel: True/False, or None = auto
+    # (on for TPU backends, off for CPU)
+    use_pallas: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

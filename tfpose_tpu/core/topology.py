@@ -131,6 +131,18 @@ FLIP_SWAP = (
 )
 
 
+def mpii_from_coco(human) -> list:
+    """Convert a Human's COCO-18 parts to MPII order — reference
+    ``MPIIPart.from_coco``: returns [(MPIIPart, BodyPart)] for the
+    parts present."""
+    out = []
+    for mpii_part, coco_part in MPII_FROM_COCO:
+        idx = int(coco_part)
+        if idx in human.body_parts:
+            out.append((mpii_part, human.body_parts[idx]))
+    return out
+
+
 def pairs_array() -> np.ndarray:
     """(19, 2) int32 array of part-index pairs."""
     return np.asarray(CocoPairs, dtype=np.int32)

@@ -124,6 +124,27 @@ class TfPoseEstimator:
         fn = batch if batched else single
         return jax.jit(fn)
 
+    @functools.lru_cache(maxsize=16)
+    def _windowed_pipeline(self, in_h: int, in_w: int, ratio: float,
+                           overlap: float):
+        from tfpose_tpu.ops.decode import decode as _decode_fn
+        from tfpose_tpu.pipeline.multiscale import windowed_forward
+
+        w, h = self.target_size
+        net = self.net
+        params = self.decode_params
+
+        def fn(variables, img):
+            def apply_batch(wins):
+                return net.apply(variables, normalize(wins),
+                                 train=False)["concat_stage7"]
+            merged = windowed_forward(apply_batch, img, h, w, overlap)
+            up_h = int(merged.shape[0] * ratio)
+            up_w = int(merged.shape[1] * ratio)
+            return _decode_fn(merged, up_h, up_w, params)
+
+        return jax.jit(fn)
+
     # ------------------------------------------------------------------
     # public API (reference signatures)
     # ------------------------------------------------------------------
@@ -183,6 +204,23 @@ class TfPoseEstimator:
                 human_scores=arrays.human_scores[i],
                 human_valid=arrays.human_valid[i]).to_humans())
         return results
+
+    def inference_windowed(self, npimg: np.ndarray,
+                           upsample_size: float = 4.0,
+                           overlap: float = 0.2) -> List[Human]:
+        """Sliding-window inference for images larger than the network
+        input (reference ``_get_scaled_img`` scale-search, rebuilt as
+        one batched forward + device-side merge + single decode)."""
+        in_h, in_w = npimg.shape[:2]
+        fn = self._windowed_pipeline(in_h, in_w, float(upsample_size),
+                                     float(overlap))
+        out = fn(self.variables, jnp.asarray(npimg, jnp.uint8))
+        arrays = jax.tree.map(np.asarray, out)
+        return PoseArrays(
+            coords=arrays.coords, scores=arrays.part_scores,
+            part_valid=arrays.part_valid,
+            human_scores=arrays.human_scores,
+            human_valid=arrays.human_valid).to_humans()
 
     @staticmethod
     def draw_humans(npimg: np.ndarray, humans: List[Human],

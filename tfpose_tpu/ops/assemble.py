@@ -45,7 +45,13 @@ from tfpose_tpu.core.topology import NUM_PARTS, pairs_array
 from tfpose_tpu.ops.nms import Peaks
 from tfpose_tpu.ops.paf import Connections
 
-_LABEL_ITERS = 20  # >= skeleton graph diameter (18 parts, tree-ish)
+# The pair tree's diameter is <= 7 hops (ankle..ear through the neck);
+# with per-round path compression (labels = labels[labels]) min-labels
+# converge in ceil(log2(diameter)) + slack rounds. Incremental phases
+# (the two ear<->shoulder pairs) start from converged labels and only
+# merge whole components, so a few seeded rounds suffice.
+_LABEL_ITERS = 10
+_INCR_ITERS = 5
 
 
 class Assembled(NamedTuple):
@@ -87,11 +93,12 @@ def assemble(peaks: Peaks, conns: Connections,
     e_pair = jnp.asarray(
         np.repeat(np.arange(pairs.shape[0], dtype=np.int32), k))
 
-    def propagate(active):
+    def propagate(active, init=None, iters=_LABEL_ITERS):
         an = jnp.where(active, a_node, 0)
         bn = jnp.where(active, b_node, 0)
-        labels = jnp.arange(n, dtype=jnp.int32)
-        for _ in range(_LABEL_ITERS):
+        labels = (jnp.arange(n, dtype=jnp.int32) if init is None
+                  else init)
+        for _ in range(iters):
             m = jnp.minimum(labels[an], labels[bn])
             labels = labels.at[an].min(m)
             labels = labels.at[bn].min(m)
@@ -112,13 +119,13 @@ def assemble(peaks: Peaks, conns: Connections,
     used0 = members(tree)
     is17 = e_valid & (e_pair == 17)
     applied17 = is17 & used0[a_node] & (root0[a_node] != root0[b_node])
-    root1 = propagate(tree | applied17)
+    root1 = propagate(tree | applied17, init=root0, iters=_INCR_ITERS)
     used1 = members(tree | applied17)
     is18 = e_valid & (e_pair == 18)
     applied18 = is18 & used1[a_node] & (root1[a_node] != root1[b_node])
 
     e_applied = tree | applied17 | applied18
-    root = propagate(e_applied)
+    root = propagate(e_applied, init=root1, iters=_INCR_ITERS)
     used = members(e_applied)
     e_valid = e_applied
 

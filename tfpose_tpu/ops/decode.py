@@ -51,17 +51,58 @@ def postprocess(net_out: jnp.ndarray, up_h: int, up_w: int,
     pafm = net_out[..., NUM_HEATMAP_CH:]
     heat_up = resize.resize_area(heat, up_h, up_w)
     paf_up = resize.resize_area(pafm, up_h, up_w)
-    smoothed = gaussian.smooth(heat_up, params.smooth_kernel_size,
-                               params.smooth_sigma)
-    peaks_map = nms.nms(smoothed, params.nms_window)
+    use_pallas = params.use_pallas
+    if use_pallas is None:
+        # auto: the fused kernel targets TPU (incl. the 'axon' tunnel
+        # backend); CPU keeps the pure-XLA path
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas and heat_up.ndim == 3:
+        from tfpose_tpu.ops.pallas.smooth_nms import smooth_nms_pallas
+        peaks_map = smooth_nms_pallas(heat_up, params.smooth_kernel_size,
+                                      params.smooth_sigma)
+    else:
+        smoothed = gaussian.smooth(heat_up, params.smooth_kernel_size,
+                                   params.smooth_sigma)
+        peaks_map = nms.nms(smoothed, params.nms_window)
     return peaks_map, heat_up, paf_up
 
 
 def decode(net_out: jnp.ndarray, up_h: int, up_w: int,
            params: DecodeParams) -> Assembled:
-    """Full decode from raw (H/8, W/8, 57) network output."""
-    peaks_map, _, paf_up = postprocess(net_out, up_h, up_w, params)
-    return decode_maps(peaks_map, paf_up, params)
+    """Full decode from raw (H/8, W/8, 57) network output.
+
+    On TPU the smooth+NMS+top-K stage runs as one fused Pallas kernel
+    whose only HBM output is K peaks per part — the peaks plane never
+    materialises.
+    """
+    use_pallas = params.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if not use_pallas:
+        peaks_map, _, paf_up = postprocess(net_out, up_h, up_w, params)
+        return decode_maps(peaks_map, paf_up, params)
+
+    from tfpose_tpu.core.topology import NUM_PARTS
+    from tfpose_tpu.ops.pallas.smooth_nms import smooth_nms_topk_pallas
+
+    net_out = net_out.astype(jnp.float32)
+    heat = net_out[..., :NUM_HEATMAP_CH]
+    pafm = net_out[..., NUM_HEATMAP_CH:]
+    heat_up = resize.resize_area(heat, up_h, up_w)
+    paf_up = resize.resize_area(pafm, up_h, up_w)
+    scores, idx = smooth_nms_topk_pallas(
+        heat_up[..., :NUM_PARTS], params.max_peaks, params.thresh_heat,
+        params.smooth_kernel_size, params.smooth_sigma)
+    idx_safe = jnp.maximum(idx, 0)
+    pk = nms.Peaks(x=(idx_safe % up_w).astype(jnp.int32),
+                   y=(idx_safe // up_w).astype(jnp.int32),
+                   score=scores, valid=scores > params.thresh_heat)
+    cands = paf.score_candidates(pk, paf_up, params)
+    conns = paf.greedy_connections(cands, params)
+    out = assemble(pk, conns, params)
+    scale = jnp.asarray([1.0 / up_w, 1.0 / up_h], jnp.float32)
+    coords = jnp.where(out.coords >= 0, out.coords * scale, out.coords)
+    return out._replace(coords=coords)
 
 
 def decode_batch(net_out: jnp.ndarray, up_h: int, up_w: int,

@@ -78,12 +78,19 @@ def score_candidates(peaks: Peaks, paf_up: jnp.ndarray,
     ix = jnp.clip(ix, 0, w - 1)
     iy = jnp.clip(iy, 0, h - 1)
 
-    # one flat gather for both PAF channels: linear idx into (H*W*38)
-    paf_flat = paf_up.reshape(-1)
-    base = (iy * w + ix) * 38
-    px = paf_flat[base + paf_ch[:, 0][:, None, None, None]]
-    py = paf_flat[base + paf_ch[:, 1][:, None, None, None]]
-    s = vx[..., None] * px + vy[..., None] * py  # (19, K, K, S)
+    # Row-gather formulation: one vectorised gather of full 38-channel
+    # rows (contiguous lane loads beat 2 scalar gathers per sample on
+    # TPU), then per-pair channel selection as a tiny one-hot
+    # contraction that XLA fuses into the gather's consumer.
+    rows = paf_up.reshape(-1, paf_up.shape[-1])[iy * w + ix]
+    # (19, K, K, S, 38)
+    pc = paf_channels_array()
+    sel = np.zeros((pc.shape[0], 38, 2), np.float32)
+    sel[np.arange(19), pc[:, 0], 0] = 1.0
+    sel[np.arange(19), pc[:, 1], 1] = 1.0
+    pxy = jnp.einsum("pabsc,pcd->pabsd", rows, jnp.asarray(sel),
+                     precision=jax.lax.Precision.HIGHEST)
+    s = vx[..., None] * pxy[..., 0] + vy[..., None] * pxy[..., 1]
 
     cnt = jnp.sum(s > params.thresh_vector_score, axis=-1)
     mean = jnp.mean(s, axis=-1)

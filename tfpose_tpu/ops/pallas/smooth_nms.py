@@ -1,0 +1,178 @@
+"""Fused Gaussian-smooth + max-pool-NMS Pallas TPU kernel.
+
+Replaces two XLA ops of the decode post-path (separable depthwise
+Gaussian + 3x3 reduce_window/select, see ``ops/gaussian.py`` /
+``ops/nms.py``) with one VMEM-resident kernel: each grid program loads
+one heatmap channel plane, applies the separable 25-tap blur with
+statically shifted slices, computes the 3x3 neighbourhood max, and
+writes the NMS'd peaks plane — one HBM round trip instead of three.
+
+Layout: channels-first (C, H, W) so the innermost (lane) dimension is
+the image width; H rides the sublanes. All slice offsets are Python
+ints (unrolled), so only static slicing is used — the Mosaic TPU
+lowering here supports neither dynamic_slice nor scatter on values.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tfpose_tpu.ops.gaussian import gauss_kernel_1d
+
+
+def _kernel(x_ref, out_ref, *, kern: tuple, pad: int, h: int, w: int):
+    """x_ref: (1, H+2p, W+2p) padded plane; out_ref: (1, H, W)."""
+    x = x_ref[0]  # (H+2p, W+2p)
+    # vertical 25-tap pass over the valid rows (static slices, unrolled)
+    acc_v = kern[0] * x[0:h, :]
+    for k in range(1, len(kern)):
+        acc_v = acc_v + kern[k] * x[k:k + h, :]
+    # horizontal 25-tap pass
+    sm = kern[0] * acc_v[:, 0:w]
+    for k in range(1, len(kern)):
+        sm = sm + kern[k] * acc_v[:, k:k + w]
+    # 3x3 neighbourhood max: neighbours via shifted slices of acc
+    # planes; SAME-padding edges handled by padding sm with -inf
+    neg = jnp.float32(-jnp.inf)
+    mx = sm
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            sh = pltpu.roll(sm, shift=dy % h, axis=0)
+            sh = pltpu.roll(sh, shift=dx % w, axis=1)
+            # mask the wrapped rows/cols to -inf
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            valid = jnp.ones((h, w), jnp.bool_)
+            if dy == 1:
+                valid = valid & (row_ids >= 1)
+            if dy == -1:
+                valid = valid & (row_ids < h - 1)
+            if dx == 1:
+                valid = valid & (col_ids >= 1)
+            if dx == -1:
+                valid = valid & (col_ids < w - 1)
+            mx = jnp.maximum(mx, jnp.where(valid, sh, neg))
+    out_ref[0] = jnp.where(sm >= mx, sm, jnp.zeros_like(sm))
+
+
+def _topk_kernel(x_ref, scores_ref, idx_ref, *, kern: tuple, pad: int,
+                 h: int, w: int, k_top: int, thresh: float):
+    """Fused smooth+NMS+top-K: emits (1, K) scores and flat indices per
+    channel plane instead of writing the peaks plane to HBM."""
+    x = x_ref[0]
+    acc_v = kern[0] * x[0:h, :]
+    for k in range(1, len(kern)):
+        acc_v = acc_v + kern[k] * x[k:k + h, :]
+    sm = kern[0] * acc_v[:, 0:w]
+    for k in range(1, len(kern)):
+        sm = sm + kern[k] * acc_v[:, k:k + w]
+    neg = jnp.float32(-jnp.inf)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    mx = sm
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            sh = pltpu.roll(sm, shift=dy % h, axis=0)
+            sh = pltpu.roll(sh, shift=dx % w, axis=1)
+            valid = jnp.ones((h, w), jnp.bool_)
+            if dy == 1:
+                valid = valid & (row_ids >= 1)
+            if dy == -1:
+                valid = valid & (row_ids < h - 1)
+            if dx == 1:
+                valid = valid & (col_ids >= 1)
+            if dx == -1:
+                valid = valid & (col_ids < w - 1)
+            mx = jnp.maximum(mx, jnp.where(valid, sh, neg))
+    # peaks plane, suppressed values -> -inf so top-k ignores them
+    flat_idx = row_ids * w + col_ids
+    peaks = jnp.where((sm >= mx) & (sm > thresh), sm, neg)
+
+    # iterative exact top-K, each round two cheap VPU reduces — max,
+    # then min-index among ties to match jax.lax.top_k / the
+    # reference's row-major scan preference. Results accumulate in a
+    # (8, 128) register tile (TPU-aligned) written once at the end.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    scores_acc = jnp.zeros((8, 128), jnp.float32)
+    idx_acc = jnp.full((8, 128), -1, jnp.int32)
+    for t in range(k_top):
+        m = jnp.max(peaks)
+        idx = jnp.min(jnp.where(peaks >= m, flat_idx, jnp.int32(h * w)))
+        found = m > neg
+        scores_acc = jnp.where((lane == t) & found, m, scores_acc)
+        idx_acc = jnp.where((lane == t) & found, idx, idx_acc)
+        peaks = jnp.where(flat_idx == idx, neg, peaks)
+    scores_ref[0] = scores_acc
+    idx_ref[0] = idx_acc
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def smooth_nms_topk_pallas(heat: jnp.ndarray, k_top: int,
+                           thresh: float, kernlen: int = 25,
+                           nsig: float = 3.0,
+                           interpret: bool = False):
+    """(H, W, C) fp32 -> (scores (C, K), flat_idx (C, K) int32):
+    the reference Smoother + NMS + the C++ decoder's peak scan, fused
+    into one kernel whose only HBM output is K peaks per part."""
+    h, w, c = heat.shape
+    pad = kernlen // 2
+    kern = tuple(float(v) for v in gauss_kernel_1d(kernlen, nsig))
+    if k_top > 1024:
+        raise ValueError("k_top must be <= 1024 (8x128 result tile)")
+    x = jnp.transpose(heat, (2, 0, 1))
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)))
+    scores, idx = pl.pallas_call(
+        functools.partial(_topk_kernel, kern=kern, pad=pad, h=h, w=w,
+                          k_top=k_top, thresh=thresh),
+        out_shape=(jax.ShapeDtypeStruct((c, 8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 8, 128), jnp.int32)),
+        grid=(c,),
+        in_specs=[pl.BlockSpec((1, h + 2 * pad, w + 2 * pad),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(x)
+    flat_s = scores.reshape(c, 8 * 128)[:, :k_top]
+    flat_i = idx.reshape(c, 8 * 128)[:, :k_top]
+    return flat_s, flat_i
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def smooth_nms_pallas(heat: jnp.ndarray, kernlen: int = 25,
+                      nsig: float = 3.0,
+                      interpret: bool = False) -> jnp.ndarray:
+    """(H, W, C) fp32 -> NMS'd peaks plane (H, W, C), fusing the
+    reference Smoother + tf.nn.pool NMS semantics."""
+    h, w, c = heat.shape
+    pad = kernlen // 2
+    kern = tuple(float(v) for v in gauss_kernel_1d(kernlen, nsig))
+    # channels-first with zero padding (SAME conv semantics)
+    x = jnp.transpose(heat, (2, 0, 1))
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, kern=kern, pad=pad, h=h, w=w),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), x.dtype),
+        grid=(c,),
+        in_specs=[pl.BlockSpec((1, h + 2 * pad, w + 2 * pad),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x)
+    return jnp.transpose(out, (1, 2, 0))

@@ -76,8 +76,18 @@ def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray,
 
 def resize_area(x: jnp.ndarray, out_h: int, out_w: int,
                 dtype=jnp.float32) -> jnp.ndarray:
-    """TF1 resize_area on (..., H, W, C) with static output size."""
+    """TF1 resize_area on (..., H, W, C) with static output size.
+
+    Fast path: for integer upscale factors TF1 resize_area is exactly
+    nearest-neighbour replication (each output cell lies inside one
+    input cell), so a repeat beats the weight matmuls — this is the
+    common case (upsample_size 2/4/8 on stride-8 maps).
+    """
     *_, h, w, _ = x.shape
+    if out_h % h == 0 and out_w % w == 0 and (out_h > h or out_w > w):
+        x = x.astype(dtype)
+        x = jnp.repeat(x, out_h // h, axis=-3)
+        return jnp.repeat(x, out_w // w, axis=-2)
     return _apply_separable(x, _area_weights_np(h, out_h),
                             _area_weights_np(w, out_w), dtype)
 

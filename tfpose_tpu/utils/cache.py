@@ -18,6 +18,17 @@ def enable_compilation_cache() -> None:
         return
     import jax
 
+    # The axon TPU plugin's sitecustomize force-sets jax_platforms at
+    # interpreter start; honour an explicit user platform choice here
+    # (TFPOSE_PLATFORM=cpu runs everything on host, e.g. for services
+    # on non-TPU machines).
+    platform = os.environ.get("TFPOSE_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
+
     cache_dir = os.environ.get(
         "TFPOSE_TPU_CACHE",
         os.path.expanduser("~/.cache/tfpose_tpu/xla"))

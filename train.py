@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Training CLI — reference ``tf_pose/train.py`` equivalents:
+``--model --batchsize --lr --max-steps --checkpoint-dir``; data comes
+from COCO (``--coco-json --img-dir``) or ``--synthetic`` (rendered
+scenes, hermetic smoke training). Multi-chip: data-parallel over a
+device mesh (``--mesh-data N --mesh-spatial M``), gradients all-reduced
+over ICI by XLA.
+"""
+
+import argparse
+import logging
+import time
+
+import numpy as np
+
+logger = logging.getLogger("tfpose_tpu.train")
+logging.basicConfig(level=logging.INFO)
+
+
+def synthetic_batches(batch_size, wh, rng, sigma=8.0):
+    """Endless stream of rendered scenes as training batches."""
+    from tfpose_tpu.train.dataset import get_heatmap, get_vectormap
+    from tfpose_tpu.utils import synthetic
+
+    w, h = wh
+    hs, ws = h // 8, w // 8
+    while True:
+        imgs, heats, pafs = [], [], []
+        for _ in range(batch_size):
+            n = int(rng.integers(1, 4))
+            people = synthetic.random_people(rng, n, h, w)
+            img = np.zeros((h, w, 3), np.float32)
+            # paint simple blobs at joints so there is signal to learn
+            for person in people:
+                for (x, y) in person:
+                    if np.isfinite(x):
+                        xi, yi = int(x), int(y)
+                        img[max(0, yi - 3):yi + 3,
+                            max(0, xi - 3):xi + 3] = 1.0
+            heat = get_heatmap(people / 8.0, hs, ws, sigma=sigma / 8.0)
+            paf = get_vectormap(people / 8.0, hs, ws, threshold=1.0)
+            imgs.append(img - 0.5)
+            heats.append(heat)
+            pafs.append(paf)
+        yield {"image": np.stack(imgs), "heat": np.stack(heats),
+               "paf": np.stack(pafs)}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="tfpose_tpu trainer")
+    parser.add_argument("--model", type=str, default="mobilenet_thin")
+    parser.add_argument("--input-size", type=str, default="368x368")
+    parser.add_argument("--batchsize", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--max-steps", type=int, default=100)
+    parser.add_argument("--decay-steps", type=int, default=10000)
+    parser.add_argument("--decay-rate", type=float, default=0.33)
+    parser.add_argument("--checkpoint-dir", type=str, default="")
+    parser.add_argument("--save-every", type=int, default=1000)
+    parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--coco-json", type=str, default="")
+    parser.add_argument("--img-dir", type=str, default="")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--mesh-data", type=int, default=0,
+                        help="0 = all devices on the data axis")
+    parser.add_argument("--mesh-spatial", type=int, default=1)
+    parser.add_argument("--resume", type=str, default="")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tfpose_tpu.models import get_network, model_wh
+    from tfpose_tpu.parallel.mesh import (
+        make_mesh, replicated, shard_batch)
+    from tfpose_tpu.train.state import (
+        TrainState, make_optimizer, make_train_step)
+    from tfpose_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    w, h = model_wh(args.input_size)
+    net = get_network(args.model)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, h, w, 3), jnp.float32), train=True)
+    tx = make_optimizer(args.lr, args.decay_rate, args.decay_steps)
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(net, tx)
+
+    ckpt_mgr = None
+    if args.checkpoint_dir:
+        import orbax.checkpoint as ocp
+        ckpt_mgr = ocp.CheckpointManager(
+            args.checkpoint_dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=3))
+        if args.resume:
+            state = ckpt_mgr.restore(int(args.resume), args=ocp.args.StandardRestore(state))
+            logger.info("resumed from step %s", args.resume)
+
+    n_dev = len(jax.devices())
+    n_data = args.mesh_data or max(n_dev // args.mesh_spatial, 1)
+    mesh = make_mesh(n_data=n_data, n_spatial=args.mesh_spatial)
+    logger.info("mesh: %s over %d devices", dict(mesh.shape), n_dev)
+
+    rng = np.random.default_rng(0)
+    if args.synthetic or not args.coco_json:
+        batches = synthetic_batches(args.batchsize, (w, h), rng)
+    else:
+        from tfpose_tpu.train.dataset import (
+            PoseDataset, load_coco_annotations)
+        anns = load_coco_annotations(args.coco_json, args.img_dir)
+        logger.info("%d annotated images", len(anns))
+
+        def epochs():
+            while True:
+                yield from PoseDataset(anns, (w, h), args.batchsize)
+        batches = epochs()
+
+    step_jit = jax.jit(train_step)
+    with mesh:
+        state = jax.device_put(state, replicated(mesh))
+        t0 = time.time()
+        for step, batch in enumerate(batches):
+            if step >= args.max_steps:
+                break
+            batch = shard_batch(mesh, batch, spatial_axis=None)
+            state, metrics = step_jit(state, batch)
+            if (step + 1) % args.log_every == 0:
+                loss = float(metrics["loss"])
+                rate = (step + 1) * args.batchsize / (time.time() - t0)
+                logger.info("step %d loss=%.1f (%.1f img/s)",
+                            step + 1, loss, rate)
+            if ckpt_mgr and (step + 1) % args.save_every == 0:
+                ckpt_mgr.save(step + 1, args=__import__(
+                    "orbax.checkpoint", fromlist=["args"]
+                ).args.StandardSave(jax.device_get(state)))
+    if ckpt_mgr:
+        import orbax.checkpoint as ocp
+        ckpt_mgr.save(args.max_steps,
+                      args=ocp.args.StandardSave(jax.device_get(state)))
+        ckpt_mgr.wait_until_finished()
+        logger.info("final checkpoint saved")
+    # export inference params
+    if args.checkpoint_dir:
+        from tfpose_tpu.convert.checkpoint import save_params
+        out = {"params": jax.device_get(state.params)}
+        if state.batch_stats:
+            out["batch_stats"] = jax.device_get(state.batch_stats)
+        save_params(args.checkpoint_dir + "/params.msgpack", out)
+        logger.info("inference params exported")
+    return state
+
+
+if __name__ == "__main__":
+    main()
