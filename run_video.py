@@ -27,6 +27,8 @@ def main(argv=None):
     parser.add_argument("--show", action="store_true",
                         help="cv2.imshow preview (needs a display)")
     parser.add_argument("--max-frames", type=int, default=0)
+    parser.add_argument("--depth", type=int, default=2,
+                        help="frames in flight (pipeline depth)")
     args = parser.parse_args(argv)
 
     import cv2
@@ -41,7 +43,7 @@ def main(argv=None):
         logger.error("cannot open video %s", args.video)
         return
     writer = None
-    pipe = VideoPipeline(e, upsample_size=args.resize_out_ratio)
+    pipe = VideoPipeline(e, upsample_size=args.resize_out_ratio, depth=args.depth)
     n, t0 = 0, time.time()
     for frame, humans in pipe.run(_frames(cap, args.max_frames)):
         image = TfPoseEstimator.draw_humans(frame, humans, imgcopy=False)
@@ -67,7 +69,6 @@ def main(argv=None):
 
 
 def _frames(cap, max_frames):
-    import itertools
     n = 0
     while True:
         ret, frame = cap.read()

@@ -24,6 +24,8 @@ def main(argv=None):
     parser.add_argument("--resize", type=str, default="432x368")
     parser.add_argument("--resize-out-ratio", type=float, default=4.0)
     parser.add_argument("--dtype", type=str, default="float32")
+    parser.add_argument("--depth", type=int, default=2,
+                        help="frames in flight (pipeline depth)")
     args = parser.parse_args(argv)
 
     import cv2
@@ -37,7 +39,7 @@ def main(argv=None):
     if not cam.isOpened():
         logger.error("cannot open camera %d", args.camera)
         return
-    pipe = VideoPipeline(e, upsample_size=args.resize_out_ratio)
+    pipe = VideoPipeline(e, upsample_size=args.resize_out_ratio, depth=args.depth)
     fps_time = time.time()
 
     def frames():

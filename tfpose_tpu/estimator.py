@@ -227,6 +227,15 @@ class TfPoseEstimator:
                     imgcopy: bool = False) -> np.ndarray:
         return _draw_humans(npimg, humans, imgcopy)
 
+    @staticmethod
+    def _quantize_img(npimg: np.ndarray, bits: int = 8) -> np.ndarray:
+        """Quantize an image to 2^bits levels (reference
+        ``TfPoseEstimator._quantize_img``, used by the quantized-model
+        experiments)."""
+        levels = float(2 ** bits - 1)
+        img = npimg.astype(np.float32) / 255.0
+        return (np.round(img * levels) / levels * 255.0).astype(np.uint8)
+
     def get_flops(self) -> int:
         """FLOPs of the jitted forward+decode program (reference used
         tf.profiler; here XLA's cost analysis)."""
