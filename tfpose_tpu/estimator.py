@@ -60,9 +60,18 @@ class TfPoseEstimator:
                  decode_params: DecodeParams = DecodeParams(),
                  dtype: str = "float32",
                  params_path: Optional[str] = None,
-                 warmup: bool = False):
+                 warmup: bool = False,
+                 fused: Optional[bool] = None):
         from tfpose_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
+
+        # fused Pallas forward (BN-folded separable blocks): auto = on
+        # for mobilenet v1/thin on TPU backends
+        if fused is None:
+            import jax as _jax
+            fused = (_jax.default_backend() not in ("cpu",)
+                     and model in ("mobilenet", "mobilenet_thin"))
+        self.fused = fused
 
         self.model_name = model
         self.target_size = target_size
@@ -105,10 +114,11 @@ class TfPoseEstimator:
                   batched: bool = False, return_maps: bool = False):
         net = self.net
         params = self.decode_params
+        apply_fn = self._apply_fn()
 
         def single(variables, img):
             x = normalize(img)[None]
-            out = net.apply(variables, x, train=False)["concat_stage7"][0]
+            out = apply_fn(variables, x)["concat_stage7"][0]
             if return_maps:
                 from tfpose_tpu.ops.decode import postprocess, decode_maps
                 peaks, heat_up, paf_up = postprocess(out, up_h, up_w, params)
@@ -117,12 +127,21 @@ class TfPoseEstimator:
 
         def batch(variables, imgs):
             x = normalize(imgs)
-            outs = net.apply(variables, x, train=False)["concat_stage7"]
+            outs = apply_fn(variables, x)["concat_stage7"]
             return jax.vmap(
                 lambda t: _decode(t, up_h, up_w, params))(outs)
 
         fn = batch if batched else single
         return jax.jit(fn)
+
+    def _apply_fn(self):
+        """Forward function: fused Pallas path or the flax module."""
+        if self.fused:
+            from tfpose_tpu.models.fused import mobilenet_fused_forward
+            return lambda variables, x: mobilenet_fused_forward(
+                variables, x)
+        net = self.net
+        return lambda variables, x: net.apply(variables, x, train=False)
 
     @functools.lru_cache(maxsize=16)
     def _windowed_pipeline(self, in_h: int, in_w: int, ratio: float,

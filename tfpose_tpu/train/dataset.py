@@ -171,6 +171,37 @@ def get_vectormap(joints: np.ndarray, target_h: int, target_w: int,
 # batching iterator (the tensorpack DataFlow + FIFOQueue equivalent)
 # ---------------------------------------------------------------------------
 
+class PrefetchIterator:
+    """Background-thread batch prefetcher — the slot of the reference's
+    tensorpack ``PrefetchData`` + ``DataFlowToQueue`` FIFO feeder
+    (single producer thread, bounded queue, overlap host data prep
+    with device steps)."""
+
+    def __init__(self, iterable, depth: int = 4):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._done = object()
+
+        def run():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            finally:
+                self._q.put(self._done)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                return
+            yield item
+
+
 class PoseDataset:
     """Training batch iterator: reads images, augments, rasterises
     targets at stride 8, yields device-ready dicts.
