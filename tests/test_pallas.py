@@ -38,7 +38,7 @@ def test_fused_sepconv_parity():
 
     from tfpose_tpu.models.layers import SeparableConv
     from tfpose_tpu.ops.pallas.sepconv import fold_bn, \
-        fused_separable_conv
+        fused_separable_conv_chw
 
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(2, 20, 24, 24)).astype(np.float32))
@@ -52,9 +52,11 @@ def test_fused_sepconv_parity():
                      bs["dw_bn"]["mean"], bs["dw_bn"]["var"])
     ps, pb = fold_bn(p["pw_bn"]["scale"], p["pw_bn"]["bias"],
                      bs["pw_bn"]["mean"], bs["pw_bn"]["var"])
-    got = fused_separable_conv(x, p["depthwise"]["kernel"], ds, db,
-                               p["pointwise"]["kernel"], ps, pb,
-                               interpret=True)
+    x_chw = jnp.transpose(x, (0, 3, 1, 2))
+    got = fused_separable_conv_chw(x_chw, p["depthwise"]["kernel"], ds,
+                                   db, p["pointwise"]["kernel"], ps, pb,
+                                   interpret=True)
+    got = jnp.transpose(got, (0, 2, 3, 1))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4)
 

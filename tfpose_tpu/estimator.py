@@ -65,13 +65,11 @@ class TfPoseEstimator:
         from tfpose_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
 
-        # fused Pallas forward (BN-folded separable blocks): auto = on
-        # for mobilenet v1/thin on TPU backends
-        if fused is None:
-            import jax as _jax
-            fused = (_jax.default_backend() not in ("cpu",)
-                     and model in ("mobilenet", "mobilenet_thin"))
-        self.fused = fused
+        # Fused Pallas forward (BN-folded separable blocks) is
+        # available but measured SLOWER than XLA's NHWC forward on
+        # v5e (see etcs/architecture.md "fused conv postmortem"), so
+        # the default is off; pass fused=True to experiment.
+        self.fused = bool(fused)
 
         self.model_name = model
         self.target_size = target_size
