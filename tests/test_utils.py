@@ -57,3 +57,16 @@ def test_sample_images_load():
     imgs = get_sample_images(96, 80)
     assert len(imgs) >= 4
     assert all(im.shape == (80, 96, 3) for im in imgs)
+
+
+def test_profiler_trace_writes_files(tmp_path):
+    import jax.numpy as jnp
+
+    from tfpose_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    import os
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(tmp_path)
+             for f in fs]
+    assert files, "no trace files written"

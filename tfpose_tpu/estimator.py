@@ -42,6 +42,42 @@ except ImportError:  # pragma: no cover
 logger = logging.getLogger("TfPoseEstimator")
 
 
+class PoseEstimator:
+    """Reference ``PoseEstimator`` (tf_pose/estimator.py:~165-200):
+    static PAF decode bridge. Backed by the native C++ decoder via the
+    ``compat.pafprocess`` shim; the on-device fused decode
+    (``ops/decode``) is the production path — this exists for API
+    parity and host-side cross-checking."""
+
+    @staticmethod
+    def estimate_paf(peaks: np.ndarray, heat_mat: np.ndarray,
+                     paf_mat: np.ndarray) -> List[Human]:
+        from tfpose_tpu.compat import pafprocess
+        from tfpose_tpu.core.types import BodyPart
+
+        pafprocess.process_paf(peaks, heat_mat, paf_mat)
+        humans = []
+        for human_id in range(pafprocess.get_num_humans()):
+            human = Human()
+            is_added = False
+            for part_idx in range(18):
+                c_idx = pafprocess.get_part_cid(human_id, part_idx)
+                if c_idx < 0:
+                    continue
+                is_added = True
+                human.body_parts[part_idx] = BodyPart(
+                    "%d-%d" % (human_id, part_idx), part_idx,
+                    float(pafprocess.get_part_x(human_id, part_idx))
+                    / heat_mat.shape[1],
+                    float(pafprocess.get_part_y(human_id, part_idx))
+                    / heat_mat.shape[0],
+                    pafprocess.get_part_score(human_id, part_idx))
+            if is_added:
+                human.score = pafprocess.get_score(human_id)
+                humans.append(human)
+        return humans
+
+
 class TfPoseEstimator:
     """Drop-in equivalent of the reference estimator.
 
