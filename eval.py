@@ -48,8 +48,13 @@ def eval_coco(args, e):
         img = read_imgfile(path, None, None)
         if img is None:
             continue
-        humans = e.inference(img, resize_to_default=True,
-                             upsample_size=args.resize_out_ratio)
+        if args.multi_scale and (img.shape[0] > 1.5 * e.target_size[1]
+                                 or img.shape[1] > 1.5 * e.target_size[0]):
+            humans = e.inference_windowed(
+                img, upsample_size=args.resize_out_ratio)
+        else:
+            humans = e.inference(img, resize_to_default=True,
+                                 upsample_size=args.resize_out_ratio)
         dets.extend(humans_to_detections(
             humans, im["id"], im["width"], im["height"]))
         if (i + 1) % 100 == 0:
@@ -124,6 +129,10 @@ def main(argv=None):
     parser.add_argument("--coco-json", type=str, default="")
     parser.add_argument("--data-idx", type=int, default=0,
                         help="evaluate only the first N images")
+    parser.add_argument("--multi-scale", action="store_true",
+                        help="sliding-window scale search for images "
+                             "larger than the network input "
+                             "(reference --multi-scale)")
     parser.add_argument("--write-json", type=str,
                         default="/tmp/tfpose_tpu_eval.json")
     parser.add_argument("--synthetic", type=int, default=0,

@@ -1,0 +1,64 @@
+"""eval.py CLI end-to-end on a fabricated mini-COCO dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def mini_coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    images, annotations = [], []
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        name = f"img{i}.jpg"
+        img = rng.integers(0, 255, (120, 160, 3), np.uint8)
+        cv2.imwrite(str(root / name), img)
+        images.append({"id": i, "file_name": name, "width": 160,
+                       "height": 120})
+        kp = []
+        for k in range(17):
+            kp.extend([float(rng.uniform(20, 140)),
+                       float(rng.uniform(20, 100)), 2])
+        annotations.append({"image_id": i, "id": i, "category_id": 1,
+                            "num_keypoints": 17, "iscrowd": 0,
+                            "keypoints": kp, "area": 5000.0})
+    ann_path = root / "ann.json"
+    ann_path.write_text(json.dumps(
+        {"images": images, "annotations": annotations,
+         "categories": [{"id": 1, "name": "person"}]}))
+    return str(root), str(ann_path)
+
+
+def _run_eval(argv):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "eval_cli", os.path.join(os.path.dirname(__file__), "..",
+                                 "eval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main(argv)
+
+
+def test_eval_coco_end_to_end(mini_coco, tmp_path):
+    img_dir, ann = mini_coco
+    stats = _run_eval([
+        "--model", "mobilenet_thin", "--resize", "96x80",
+        "--coco-dir", img_dir, "--coco-json", ann,
+        "--write-json", str(tmp_path / "dets.json")])
+    assert set(stats) >= {"AP", "AP50", "AP75", "AR"}
+    assert os.path.exists(tmp_path / "dets.json")
+
+
+def test_eval_coco_multi_scale_branch(mini_coco, tmp_path):
+    img_dir, ann = mini_coco
+    # 160x120 images vs 96x80 net -> windowed path triggers
+    stats = _run_eval([
+        "--model", "mobilenet_thin", "--resize", "96x80",
+        "--coco-dir", img_dir, "--coco-json", ann, "--multi-scale",
+        "--write-json", str(tmp_path / "dets_ms.json")])
+    assert set(stats) >= {"AP"}
