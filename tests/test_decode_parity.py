@@ -116,3 +116,33 @@ def test_decode_batch_matches_single():
                                    np.asarray(single.coords), atol=1e-6)
         assert (np.asarray(batched.human_valid[i])
                 == np.asarray(single.human_valid)).all()
+
+
+@pytest.mark.parametrize("seed,n_people,noise",
+                         [(0, 1, 0.0), (1, 3, 0.01), (2, 4, 0.02),
+                          (4, 0, 0.05)])
+def test_dense_assemble_matches_scatter(seed, n_people, noise):
+    """assemble_dense (production, vmap-friendly) must equal the
+    scatter-based reference implementation bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfpose_tpu.ops import nms as nmsmod, paf as pafmod
+    from tfpose_tpu.ops.assemble import assemble, assemble_dense
+    from tfpose_tpu.oracle import numpy_post
+
+    rng = np.random.default_rng(seed)
+    net, _ = synthetic.render_scene(rng, n_people, 46, 54, noise=noise)
+    peaks_map, _, pafm = numpy_post.full_post(net, 184, 216)
+    pk = nmsmod.top_peaks(jnp.asarray(peaks_map, jnp.float32),
+                          PARAMS.max_peaks, PARAMS.thresh_heat)
+    cands = pafmod.score_candidates(pk, jnp.asarray(pafm, jnp.float32),
+                                    PARAMS)
+    conns = pafmod.greedy_connections(cands, PARAMS)
+    a = jax.tree.map(np.asarray, assemble(pk, conns, PARAMS))
+    b = jax.tree.map(np.asarray, assemble_dense(pk, conns, PARAMS))
+    for f in a._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, f), np.float32),
+            np.asarray(getattr(b, f), np.float32), atol=1e-5,
+            err_msg=f)

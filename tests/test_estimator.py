@@ -71,3 +71,15 @@ def test_video_pipeline_order(estimator):
     for (f, humans), orig in zip(out, frames):
         assert f is orig
         assert isinstance(humans, list)
+
+
+def test_device_preprocess_path(estimator):
+    from tfpose_tpu.estimator import TfPoseEstimator
+
+    e = TfPoseEstimator("mobilenet_thin", target_size=(96, 80),
+                        device_preprocess=True)
+    img = np.random.default_rng(5).integers(0, 255, (200, 300, 3),
+                                            np.uint8)
+    humans = e.inference(img, resize_to_default=True, upsample_size=2.0)
+    assert isinstance(humans, list)
+    assert e.heatMat.shape[:2] == (20, 24)

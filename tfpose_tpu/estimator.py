@@ -97,7 +97,8 @@ class TfPoseEstimator:
                  dtype: str = "float32",
                  params_path: Optional[str] = None,
                  warmup: bool = False,
-                 fused: Optional[bool] = None):
+                 fused: Optional[bool] = None,
+                 device_preprocess: bool = False):
         from tfpose_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
 
@@ -106,6 +107,11 @@ class TfPoseEstimator:
         # v5e (see etcs/architecture.md "fused conv postmortem"), so
         # the default is off; pass fused=True to experiment.
         self.fused = bool(fused)
+        # device_preprocess: resize incoming frames inside the jitted
+        # program (bilinear) instead of host cv2 INTER_AREA — one
+        # host->device transfer of the raw frame, reference-divergent
+        # resize numerics (documented), so off by default.
+        self.device_preprocess = device_preprocess
 
         self.model_name = model
         self.target_size = target_size
@@ -145,13 +151,20 @@ class TfPoseEstimator:
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=32)
     def _pipeline(self, in_h: int, in_w: int, up_h: int, up_w: int,
-                  batched: bool = False, return_maps: bool = False):
+                  batched: bool = False, return_maps: bool = False,
+                  resize_in_graph: bool = False):
         net = self.net
         params = self.decode_params
         apply_fn = self._apply_fn()
+        t_w, t_h = self.target_size
 
         def single(variables, img):
-            x = normalize(img)[None]
+            x = normalize(img)
+            if resize_in_graph and (x.shape[0] != t_h
+                                    or x.shape[1] != t_w):
+                from tfpose_tpu.ops.resize import resize_bilinear
+                x = resize_bilinear(x, t_h, t_w)
+            x = x[None]
             out = apply_fn(variables, x)["concat_stage7"][0]
             if return_maps:
                 from tfpose_tpu.ops.decode import postprocess, decode_maps
@@ -211,17 +224,29 @@ class TfPoseEstimator:
         if npimg is None:
             raise Exception(
                 "The image is not valid. Please check your image exists.")
+        resize_in_graph = False
         if resize_to_default:
             w, h = self.target_size
-            if cv2 is not None and npimg.shape[:2] != (h, w):
-                npimg = cv2.resize(npimg, (w, h),
-                                   interpolation=cv2.INTER_AREA)
+            if npimg.shape[:2] != (h, w):
+                if self.device_preprocess or cv2 is None:
+                    # fuse the resize into the jitted pipeline
+                    # (BASELINE: device-side preprocessing) — the raw
+                    # frame ships once, everything else is on-device
+                    resize_in_graph = True
+                else:
+                    npimg = cv2.resize(npimg, (w, h),
+                                       interpolation=cv2.INTER_AREA)
+        if resize_in_graph:
+            net_h, net_w = self.target_size[1], self.target_size[0]
+        else:
+            net_h, net_w = npimg.shape[:2]
         in_h, in_w = npimg.shape[:2]
-        up_h = int(in_h / 8 * upsample_size)
-        up_w = int(in_w / 8 * upsample_size)
+        up_h = int(net_h / 8 * upsample_size)
+        up_w = int(net_w / 8 * upsample_size)
 
         t = time.time()
-        fn = self._pipeline(in_h, in_w, up_h, up_w, False, True)
+        fn = self._pipeline(in_h, in_w, up_h, up_w, False, True,
+                            resize_in_graph)
         out, heat_up, paf_up = fn(self.variables,
                                   jnp.asarray(npimg, jnp.uint8))
         arrays = jax.tree.map(np.asarray, out)

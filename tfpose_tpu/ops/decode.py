@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from tfpose_tpu.core.config import DecodeParams
 from tfpose_tpu.core.topology import NUM_HEATMAP_CH
 from tfpose_tpu.ops import gaussian, nms, paf, resize
-from tfpose_tpu.ops.assemble import Assembled, assemble
+from tfpose_tpu.ops.assemble import Assembled, assemble_dense as assemble
 
 
 def decode_maps(peaks_map: jnp.ndarray, paf_up: jnp.ndarray,

@@ -38,12 +38,18 @@ def make_optimizer(lr: float = 1e-4, decay_rate: float = 0.33,
     return optax.adam(sched)
 
 
-def make_train_step(model, tx: optax.GradientTransformation):
+def make_train_step(model, tx: optax.GradientTransformation,
+                    rasterize: bool = False, sigma: float = 1.0,
+                    paf_threshold: float = 1.0):
     """Returns jittable ``train_step(state, batch) -> (state, metrics)``.
 
-    ``batch``: dict with 'image' (N,H,W,3) float, 'heat' (N,H/8,W/8,19),
-    'paf' (N,H/8,W/8,38). Works unsharded on one chip or with mesh-
-    sharded batches (XLA all-reduces gradients over the mesh).
+    ``batch``: dict with 'image' (N,H,W,3) float and either
+    pre-rasterised targets ('heat' (N,H/8,W/8,19), 'paf'
+    (N,H/8,W/8,38)) or — with ``rasterize=True`` — raw 'joints'
+    (N, max_people, 18, 2) stride-8 pixel coords (NaN padded), which
+    are rendered to heatmap/PAF targets ON DEVICE inside the step
+    (host ships coordinates only). Works unsharded on one chip or with
+    mesh-sharded batches (XLA all-reduces gradients over the mesh).
     """
 
     def loss_fn(params, batch_stats, batch):
@@ -53,8 +59,16 @@ def make_train_step(model, tx: optax.GradientTransformation):
         out, mutated = model.apply(
             variables, batch["image"], train=True,
             mutable=["batch_stats"] if batch_stats else [])
-        loss, metrics = stage_l2_loss(out["stages"], batch["paf"],
-                                      batch["heat"])
+        if rasterize:
+            from tfpose_tpu.train.targets_jax import batch_targets
+            hs, ws = out["stages"][0][1].shape[1:3]
+            targets = batch_targets(batch["joints"], hs, ws,
+                                    sigma=sigma,
+                                    threshold=paf_threshold)
+            heat_gt, paf_gt = targets["heat"], targets["paf"]
+        else:
+            heat_gt, paf_gt = batch["heat"], batch["paf"]
+        loss, metrics = stage_l2_loss(out["stages"], paf_gt, heat_gt)
         new_stats = mutated.get("batch_stats", batch_stats) \
             if batch_stats else {}
         return loss, (metrics, new_stats)

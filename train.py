@@ -17,6 +17,30 @@ logger = logging.getLogger("tfpose_tpu.train")
 logging.basicConfig(level=logging.INFO)
 
 
+def synthetic_joint_batches(batch_size, wh, rng, max_people=8):
+    """Stream of {'image', 'joints'} batches for --device-targets."""
+    from tfpose_tpu.utils import synthetic
+
+    w, h = wh
+    while True:
+        imgs, joints = [], []
+        for _ in range(batch_size):
+            n = int(rng.integers(1, 4))
+            people = synthetic.random_people(rng, n, h, w)
+            img = np.zeros((h, w, 3), np.float32)
+            for person in people:
+                for (x, y) in person:
+                    if np.isfinite(x):
+                        xi, yi = int(x), int(y)
+                        img[max(0, yi - 3):yi + 3,
+                            max(0, xi - 3):xi + 3] = 1.0
+            padded = np.full((max_people, 18, 2), np.nan, np.float32)
+            padded[:n] = people / 8.0  # stride-8 coords
+            imgs.append(img - 0.5)
+            joints.append(padded)
+        yield {"image": np.stack(imgs), "joints": np.stack(joints)}
+
+
 def synthetic_batches(batch_size, wh, rng, sigma=8.0):
     """Endless stream of rendered scenes as training batches."""
     from tfpose_tpu.train.dataset import get_heatmap, get_vectormap
@@ -61,6 +85,10 @@ def main(argv=None):
     parser.add_argument("--coco-json", type=str, default="")
     parser.add_argument("--img-dir", type=str, default="")
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--device-targets", action="store_true",
+                        help="rasterise heatmap/PAF targets on device "
+                             "inside the jitted step (host ships joint "
+                             "coords only)")
     parser.add_argument("--mesh-data", type=int, default=0,
                         help="0 = all devices on the data axis")
     parser.add_argument("--mesh-spatial", type=int, default=1)
@@ -84,7 +112,7 @@ def main(argv=None):
                          jnp.zeros((1, h, w, 3), jnp.float32), train=True)
     tx = make_optimizer(args.lr, args.decay_rate, args.decay_steps)
     state = TrainState.create(variables, tx)
-    train_step = make_train_step(net, tx)
+    train_step = make_train_step(net, tx, rasterize=args.device_targets)
 
     ckpt_mgr = None
     if args.checkpoint_dir:
@@ -103,7 +131,10 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     if args.synthetic or not args.coco_json:
-        batches = synthetic_batches(args.batchsize, (w, h), rng)
+        if args.device_targets:
+            batches = synthetic_joint_batches(args.batchsize, (w, h), rng)
+        else:
+            batches = synthetic_batches(args.batchsize, (w, h), rng)
     else:
         from tfpose_tpu.train.dataset import (
             PoseDataset, load_coco_annotations)
