@@ -63,27 +63,31 @@ def _kernel(x_ref, out_ref, *, kern: tuple, pad: int, h: int, w: int):
 
 
 def _topk_kernel(x_ref, scores_ref, idx_ref, *, kern: tuple, pad: int,
-                 h: int, w: int, k_top: int, thresh: float):
-    """Fused smooth+NMS+top-K: emits (1, K) scores and flat indices per
-    channel plane instead of writing the peaks plane to HBM."""
-    x = x_ref[0]
-    acc_v = kern[0] * x[0:h, :]
+                 h: int, w: int, k_top: int, thresh: float,
+                 c_blk: int):
+    """Fused smooth+NMS+top-K over a block of ``c_blk`` channel planes
+    per grid program (the Gaussian taps are channel-independent, so
+    blur/NMS vectorise over the block; per-program launch/DMA overhead
+    amortises c_blk-fold). Emits (c_blk, K) scores and flat indices —
+    the peaks plane never reaches HBM."""
+    x = x_ref[...]  # (c_blk, H+2p, W+2p)
+    acc_v = kern[0] * x[:, 0:h, :]
     for k in range(1, len(kern)):
-        acc_v = acc_v + kern[k] * x[k:k + h, :]
-    sm = kern[0] * acc_v[:, 0:w]
+        acc_v = acc_v + kern[k] * x[:, k:k + h, :]
+    sm = kern[0] * acc_v[:, :, 0:w]
     for k in range(1, len(kern)):
-        sm = sm + kern[k] * acc_v[:, k:k + w]
+        sm = sm + kern[k] * acc_v[:, :, k:k + w]
     neg = jnp.float32(-jnp.inf)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (c_blk, h, w), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (c_blk, h, w), 2)
     mx = sm
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            sh = pltpu.roll(sm, shift=dy % h, axis=0)
-            sh = pltpu.roll(sh, shift=dx % w, axis=1)
-            valid = jnp.ones((h, w), jnp.bool_)
+            sh = pltpu.roll(sm, shift=dy % h, axis=1)
+            sh = pltpu.roll(sh, shift=dx % w, axis=2)
+            valid = jnp.ones((c_blk, h, w), jnp.bool_)
             if dy == 1:
                 valid = valid & (row_ids >= 1)
             if dy == -1:
@@ -93,27 +97,30 @@ def _topk_kernel(x_ref, scores_ref, idx_ref, *, kern: tuple, pad: int,
             if dx == -1:
                 valid = valid & (col_ids < w - 1)
             mx = jnp.maximum(mx, jnp.where(valid, sh, neg))
-    # peaks plane, suppressed values -> -inf so top-k ignores them
+    # peaks planes, suppressed values -> -inf so top-k ignores them
     flat_idx = row_ids * w + col_ids
-    peaks = jnp.where((sm >= mx) & (sm > thresh), sm, neg)
+    peaks_blk = jnp.where((sm >= mx) & (sm > thresh), sm, neg)
 
-    # iterative exact top-K, each round two cheap VPU reduces — max,
-    # then min-index among ties to match jax.lax.top_k / the
-    # reference's row-major scan preference. Results accumulate in a
-    # (8, 128) register tile (TPU-aligned) written once at the end.
+    # iterative exact top-K per channel, each round two cheap VPU
+    # reduces — max, then min-index among ties to match jax.lax.top_k /
+    # the reference's row-major scan preference. Results accumulate in
+    # (8, 128) register tiles (TPU-aligned) written once per channel.
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128 + \
         jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    scores_acc = jnp.zeros((8, 128), jnp.float32)
-    idx_acc = jnp.full((8, 128), -1, jnp.int32)
-    for t in range(k_top):
-        m = jnp.max(peaks)
-        idx = jnp.min(jnp.where(peaks >= m, flat_idx, jnp.int32(h * w)))
-        found = m > neg
-        scores_acc = jnp.where((lane == t) & found, m, scores_acc)
-        idx_acc = jnp.where((lane == t) & found, idx, idx_acc)
-        peaks = jnp.where(flat_idx == idx, neg, peaks)
-    scores_ref[0] = scores_acc
-    idx_ref[0] = idx_acc
+    for c in range(c_blk):
+        peaks = peaks_blk[c]
+        fi = flat_idx[c]
+        scores_acc = jnp.zeros((8, 128), jnp.float32)
+        idx_acc = jnp.full((8, 128), -1, jnp.int32)
+        for t in range(k_top):
+            m = jnp.max(peaks)
+            idx = jnp.min(jnp.where(peaks >= m, fi, jnp.int32(h * w)))
+            found = m > neg
+            scores_acc = jnp.where((lane == t) & found, m, scores_acc)
+            idx_acc = jnp.where((lane == t) & found, idx, idx_acc)
+            peaks = jnp.where(fi == idx, neg, peaks)
+        scores_ref[c] = scores_acc
+        idx_ref[c] = idx_acc
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
@@ -129,21 +136,24 @@ def smooth_nms_topk_pallas(heat: jnp.ndarray, k_top: int,
     kern = tuple(float(v) for v in gauss_kernel_1d(kernlen, nsig))
     if k_top > 1024:
         raise ValueError("k_top must be <= 1024 (8x128 result tile)")
+    c_blk = 6 if c % 6 == 0 else (3 if c % 3 == 0 else 1)
     x = jnp.transpose(heat, (2, 0, 1))
     x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)))
     scores, idx = pl.pallas_call(
         functools.partial(_topk_kernel, kern=kern, pad=pad, h=h, w=w,
-                          k_top=k_top, thresh=thresh),
+                          k_top=k_top, thresh=thresh, c_blk=c_blk),
         out_shape=(jax.ShapeDtypeStruct((c, 8, 128), jnp.float32),
                    jax.ShapeDtypeStruct((c, 8, 128), jnp.int32)),
-        grid=(c,),
-        in_specs=[pl.BlockSpec((1, h + 2 * pad, w + 2 * pad),
+        grid=(c // c_blk,),
+        in_specs=[pl.BlockSpec((c_blk, h + 2 * pad, w + 2 * pad),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+        out_specs=(pl.BlockSpec((c_blk, 8, 128), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                   pl.BlockSpec((c_blk, 8, 128), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x)
     flat_s = scores.reshape(c, 8 * 128)[:, :k_top]
