@@ -10,7 +10,6 @@ import time
 
 import numpy as np
 
-from tfpose_tpu.core.config import DecodeParams
 from tfpose_tpu.estimator import TfPoseEstimator
 from tfpose_tpu.models import model_wh
 from tfpose_tpu.utils.imload import read_imgfile

@@ -4,7 +4,6 @@ reference's top-level run*.py scripts)."""
 from __future__ import annotations
 
 import os
-import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))

@@ -21,7 +21,7 @@ from __future__ import annotations
 import functools
 import logging
 import time
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

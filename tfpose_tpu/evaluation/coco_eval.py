@@ -9,7 +9,6 @@ reimplementation (same OKS kappas, same 0.50:0.95 thresholds, same
 
 from __future__ import annotations
 
-import json
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

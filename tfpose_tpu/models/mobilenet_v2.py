@@ -13,12 +13,12 @@ concatenated, then 6 all-separable two-branch CPM refinement stages.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from tfpose_tpu.models.layers import ConvBN, CPMStage, make_divisible
+from tfpose_tpu.models.layers import CPMStage, make_divisible
 from tfpose_tpu.ops.resize import resize_bilinear
 
 # V2_DEF inverted residual blocks: (expansion, channels, stride)

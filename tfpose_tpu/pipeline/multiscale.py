@@ -17,9 +17,8 @@ round trips.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -5,7 +5,7 @@ factory helpers."""
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Union
+from typing import List, Union
 
 import numpy as np
 

@@ -19,7 +19,7 @@ import dataclasses
 import json
 import logging
 import os
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 

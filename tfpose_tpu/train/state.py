@@ -4,8 +4,7 @@ multi-device data parallelism — towers replaced by mesh sharding)."""
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax
 import jax

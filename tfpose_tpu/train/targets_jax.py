@@ -20,10 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tfpose_tpu.core.topology import (
-    NUM_HEATMAP_CH,
     NUM_PAF_CH,
-    NUM_PAIRS,
-    NUM_PARTS,
     pairs_array,
     paf_channels_array,
 )

@@ -10,8 +10,6 @@ reused to create known-good decoder inputs without COCO data.
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import numpy as np
 
 from tfpose_tpu.core.topology import (
