@@ -88,7 +88,11 @@ def eval_synthetic(args, e):
     gts, dets = {}, []
     for idx in range(args.synthetic):
         n_people = int(rng.integers(1, 4))
-        net, people = synthetic.render_scene(rng, n_people, h, w)
+        people = synthetic.random_people(rng, n_people, h, w,
+                                         separated=True)
+        heat = synthetic.render_heatmap(people, h, w)
+        pafm = synthetic.render_paf(people, h, w)
+        net = np.concatenate([heat, pafm], axis=2).astype(np.float32)
         out = decode_jit(net, up_h, up_w, params)
         arrays = jax.tree.map(np.asarray, out)
         humans = PoseArrays(

@@ -46,15 +46,29 @@ _TEMPLATE = np.array([
 
 def random_people(rng: np.random.Generator, n_people: int,
                   h: int, w: int, jitter: float = 0.02,
-                  drop_prob: float = 0.0) -> np.ndarray:
-    """(n_people, 18, 2) float pixel coords; NaN marks dropped parts."""
+                  drop_prob: float = 0.0,
+                  separated: bool = False) -> np.ndarray:
+    """(n_people, 18, 2) float pixel coords; NaN marks dropped parts.
+
+    ``separated=True`` places people in distinct vertical strips (the
+    template is tall and narrow) so their peaks cannot merge — used by
+    the hermetic eval gate, where accidental overlaps would look like
+    decoder regressions."""
     people = []
-    for _ in range(n_people):
+    for i in range(n_people):
         scale = rng.uniform(0.35, 0.8)
+        if separated:
+            # person width ~= 0.36 * scale; keep it inside its strip
+            scale = min(scale, 0.8 / (0.36 * max(n_people, 1)) / 2.4)
         pts = _TEMPLATE.copy()
         pts = (pts - 0.5) * scale
-        cx = rng.uniform(0.25, 0.75)
-        cy = rng.uniform(0.3, 0.7)
+        if separated:
+            strip = (i + 0.5) / n_people
+            cx = strip + rng.uniform(-0.25, 0.25) / n_people
+            cy = rng.uniform(0.4, 0.6)
+        else:
+            cx = rng.uniform(0.25, 0.75)
+            cy = rng.uniform(0.3, 0.7)
         pts[:, 0] = (pts[:, 0] + cx) * (w - 1)
         pts[:, 1] = (pts[:, 1] + cy) * (h - 1)
         pts += rng.normal(0.0, jitter * scale * min(h, w), pts.shape)
