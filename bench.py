@@ -12,8 +12,9 @@ tunnel whose ``block_until_ready`` returns at dispatch and whose
 round-trip is ~40 ms, so naive host-side timing is meaningless in both
 directions. Each config therefore scans its workload S times over
 DISTINCT inputs inside ONE XLA program and times a forced host
-transfer of a scalar reduction; per-image time = wall / (S * batch).
-This measures sustained device throughput — exactly the
+transfer of a scalar reduction; per-image time is the SLOPE between
+two scan lengths (cancelling the tunnel's ~35 ms fixed per-call
+cost). This measures sustained device throughput — exactly the
 images/sec/chip metric. Set TFPOSE_BENCH_FULL=1 for the extra
 BASELINE configs (longer compiles).
 """
@@ -63,12 +64,25 @@ def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
     t0 = time.perf_counter()
     np.asarray(many(xs))  # compile + first run
     compile_s = time.perf_counter() - t0
-    best = float("inf")
-    for _ in range(n_rep):
-        t0 = time.perf_counter()
-        np.asarray(many(xs))
-        best = min(best, time.perf_counter() - t0)
-    per_image_ms = best / (scans * batch) * 1e3
+
+    def timed(arr):
+        best = float("inf")
+        for _ in range(n_rep):
+            t0 = time.perf_counter()
+            np.asarray(many(arr))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # differential timing: slope between two scan lengths cancels the
+    # fixed per-invocation cost (the dev tunnel adds ~35 ms RTT/call,
+    # which would otherwise inflate per-image time by RTT/scans)
+    t_full = timed(xs)
+    if scans >= 8:
+        n_small = scans // 4
+        t_small = timed(xs[:n_small])
+        per_image_ms = (t_full - t_small) / ((scans - n_small) * batch) * 1e3
+    else:
+        per_image_ms = t_full / (scans * batch) * 1e3
     return {"per_image_ms": round(per_image_ms, 4),
             "images_per_sec": round(1e3 / per_image_ms, 1),
             "batch": batch, "compile_s": round(compile_s, 1)}
@@ -93,14 +107,14 @@ def main():
     # headline: thin 432x368 single-image latency path
     run("thin_432x368_b1", "mobilenet_thin", 432, 368, 4.0, 1, 32)
     # batched throughput (config 5 flavour)
-    run("thin_432x368_b16", "mobilenet_thin", 432, 368, 4.0, 16, 4)
+    run("thin_432x368_b16", "mobilenet_thin", 432, 368, 4.0, 16, 8)
 
     if os.environ.get("TFPOSE_BENCH_FULL"):
         run("v2small_368x368_b8", "mobilenet_v2_small", 368, 368, 4.0,
-            8, 4)
+            8, 8)
         run("v2large_432x368_b1", "mobilenet_v2_large", 432, 368, 4.0,
             1, 16)
-        run("cmu_656x368_b1", "cmu", 656, 368, 4.0, 1, 4, n_rep=2)
+        run("cmu_656x368_b1", "cmu", 656, 368, 4.0, 1, 8, n_rep=2)
 
     head = results.get("thin_432x368_b1")
     if head is None:

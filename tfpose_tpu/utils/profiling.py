@@ -58,26 +58,40 @@ class StageTimer:
         return "\n".join(lines)
 
 
-def amortized_ms(body, xs, n_rep: int = 3) -> float:
-    """Median per-iteration wall time of ``body`` scanned over the
-    leading axis of ``xs`` inside ONE jitted program, with a forced
-    host transfer — robust to async-dispatch backends."""
+def amortized_ms(body, xs, n_rep: int = 3,
+                 differential: bool = True) -> float:
+    """Per-iteration wall time of ``body`` scanned over the leading
+    axis of ``xs`` inside ONE jitted program, with a forced host
+    transfer — robust to async-dispatch backends.
+
+    ``differential=True`` (default) times the scan at two lengths
+    (N and N//4) and returns the slope, cancelling the fixed per-call
+    cost exactly (the dev tunnel adds ~35 ms RTT per invocation, which
+    otherwise inflates the result by RTT/N)."""
     import numpy as np
     import jax.numpy as jnp
 
     n_iter = int(xs.shape[0])
 
-    @jax.jit
-    def many(xs):
-        def step(carry, x):
-            return carry + body(x), None
-        acc, _ = jax.lax.scan(step, jnp.float32(0), xs)
-        return acc
+    def timed(arr):
+        @jax.jit
+        def many(xs):
+            def step(carry, x):
+                return carry + body(x), None
+            acc, _ = jax.lax.scan(step, jnp.float32(0), xs)
+            return acc
 
-    np.asarray(many(xs))  # compile
-    best = float("inf")
-    for _ in range(n_rep):
-        t0 = time.perf_counter()
-        np.asarray(many(xs))
-        best = min(best, time.perf_counter() - t0)
-    return best / n_iter * 1e3
+        np.asarray(many(arr))  # compile
+        best = float("inf")
+        for _ in range(n_rep):
+            t0 = time.perf_counter()
+            np.asarray(many(arr))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_full = timed(xs)
+    if not differential or n_iter < 8:
+        return t_full / n_iter * 1e3
+    n_small = n_iter // 4
+    t_small = timed(xs[:n_small])
+    return (t_full - t_small) / (n_iter - n_small) * 1e3
