@@ -146,3 +146,24 @@ def test_dense_assemble_matches_scatter(seed, n_people, noise):
             np.asarray(getattr(a, f), np.float32),
             np.asarray(getattr(b, f), np.float32), atol=1e-5,
             err_msg=f)
+
+
+def test_fast_preset_matches_default_on_normal_scenes():
+    """DecodeParams.fast() (smaller padding caps) must produce the same
+    humans whenever peak counts stay under its caps."""
+    rng = np.random.default_rng(40)
+    net, _ = synthetic.render_scene(rng, 3, 46, 54)
+    a = _jax_humans(net, 184, 216)
+    global PARAMS
+    default = PARAMS
+    try:
+        PARAMS = DecodeParams.fast()
+        b = _jax_humans(net, 184, 216)
+    finally:
+        PARAMS = default
+    assert len(a) == len(b)
+    for (pa, sa), (pb, sb) in zip(
+            sorted(a, key=lambda h: sorted(h[0].items())),
+            sorted(b, key=lambda h: sorted(h[0].items()))):
+        assert pa == pb
+        assert abs(sa - sb) < 1e-4
