@@ -30,7 +30,7 @@ BASELINE_IMAGES_PER_SEC = 5.0  # reconstructed TF1 CPU reference (BASELINE.md)
 
 
 def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
-                 n_rep=3):
+                 n_rep=3, fast=False):
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +43,7 @@ def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
                       else jnp.float32)
     variables = net.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, h, w, 3), jnp.float32), train=False)
-    params = DecodeParams()
+    params = DecodeParams.fast() if fast else DecodeParams()
     up_h, up_w = int(h / 8 * ratio), int(w / 8 * ratio)
 
     def body(imgs):  # (B, H, W, 3) uint8 -> scalar
@@ -112,6 +112,8 @@ def main():
     if os.environ.get("TFPOSE_BENCH_FULL"):
         run("v2small_368x368_b8", "mobilenet_v2_small", 368, 368, 4.0,
             8, 8)
+        run("thin_fast_432x368_b1", "mobilenet_thin", 432, 368, 4.0,
+            1, 32, fast=True)
         run("v2large_432x368_b1", "mobilenet_v2_large", 432, 368, 4.0,
             1, 16)
         run("cmu_656x368_b1", "cmu", 656, 368, 4.0, 1, 8, n_rep=2)
