@@ -36,7 +36,7 @@ def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
 
     from tfpose_tpu.core.config import DecodeParams
     from tfpose_tpu.models import get_network
-    from tfpose_tpu.ops.decode import decode
+    from tfpose_tpu.ops.decode import decode_batch
     from tfpose_tpu.pipeline.preprocess import normalize
 
     net = get_network(model, dtype=jnp.bfloat16 if dtype == "bfloat16"
@@ -49,7 +49,7 @@ def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
     def body(imgs):  # (B, H, W, 3) uint8 -> scalar
         outs = net.apply(variables, normalize(imgs),
                          train=False)["concat_stage7"]
-        d = jax.vmap(lambda t: decode(t, up_h, up_w, params))(outs)
+        d = decode_batch(outs, up_h, up_w, params)
         return d.human_scores.sum()
 
     @jax.jit

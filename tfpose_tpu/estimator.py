@@ -173,10 +173,10 @@ class TfPoseEstimator:
             return _decode(out, up_h, up_w, params)
 
         def batch(variables, imgs):
+            from tfpose_tpu.ops.decode import decode_batch
             x = normalize(imgs)
             outs = apply_fn(variables, x)["concat_stage7"]
-            return jax.vmap(
-                lambda t: _decode(t, up_h, up_w, params))(outs)
+            return decode_batch(outs, up_h, up_w, params)
 
         fn = batch if batched else single
         return jax.jit(fn)

@@ -32,7 +32,7 @@ class BatchedEvaluator:
                  upsample: float = 4.0, mesh=None,
                  params: DecodeParams = DecodeParams()):
         from tfpose_tpu.models import get_network
-        from tfpose_tpu.ops.decode import decode
+        from tfpose_tpu.ops.decode import decode_batch
         from tfpose_tpu.pipeline.preprocess import normalize
 
         self.w, self.h = target_size
@@ -50,8 +50,7 @@ class BatchedEvaluator:
         def fn(variables, imgs):
             x = normalize(imgs)
             outs = net.apply(variables, x, train=False)["concat_stage7"]
-            return jax.vmap(
-                lambda t: decode(t, up_h, up_w, params))(outs)
+            return decode_batch(outs, up_h, up_w, params)
 
         self._fn = jax.jit(fn)
         if mesh is not None:

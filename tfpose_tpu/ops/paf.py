@@ -43,15 +43,12 @@ class Connections(NamedTuple):
     valid: jnp.ndarray   # bool
 
 
-def score_candidates(peaks: Peaks, paf_up: jnp.ndarray,
-                     params: DecodeParams) -> Candidates:
-    """Score all candidates. ``paf_up``: (H, W, 38) upsampled PAF map."""
+def _candidate_geometry(peaks: Peaks, h: int, w: int,
+                        params: DecodeParams):
+    """Per-image candidate geometry: endpoint validity, direction
+    vectors, distances, and rounded sample-point flat indices."""
     pairs = jnp.asarray(pairs_array())          # (19, 2)
-    paf_ch = jnp.asarray(paf_channels_array())  # (19, 2)
-    h, w, _ = paf_up.shape
-    k = peaks.x.shape[1]
 
-    # gather endpoint peaks per pair: (19, K)
     ax = peaks.x[pairs[:, 0]].astype(jnp.float32)
     ay = peaks.y[pairs[:, 0]].astype(jnp.float32)
     av = peaks.valid[pairs[:, 0]]
@@ -73,17 +70,15 @@ def score_candidates(peaks: Peaks, paf_up: jnp.ndarray,
     sx = ax[:, :, None, None] + dx[..., None] * steps
     sy = ay[:, :, None, None] + dy[..., None] * steps
     # reference roundpaf: floor(v + 0.5) (round half up, coords >= 0)
-    ix = jnp.floor(sx + 0.5).astype(jnp.int32)
-    iy = jnp.floor(sy + 0.5).astype(jnp.int32)
-    ix = jnp.clip(ix, 0, w - 1)
-    iy = jnp.clip(iy, 0, h - 1)
+    ix = jnp.clip(jnp.floor(sx + 0.5).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(jnp.floor(sy + 0.5).astype(jnp.int32), 0, h - 1)
+    flat = iy * w + ix
+    return (vx, vy, norm, safe, av, bv, flat)
 
-    # Row-gather formulation: one vectorised gather of full 38-channel
-    # rows (contiguous lane loads beat 2 scalar gathers per sample on
-    # TPU), then per-pair channel selection as a tiny one-hot
-    # contraction that XLA fuses into the gather's consumer.
-    rows = paf_up.reshape(-1, paf_up.shape[-1])[iy * w + ix]
-    # (19, K, K, S, 38)
+
+def _score_from_rows(rows, vx, vy, norm, safe, av, bv, h,
+                     params: DecodeParams) -> Candidates:
+    """rows: (19, K, K, S, 38) gathered PAF rows -> Candidates."""
     pc = paf_channels_array()
     sel = np.zeros((pc.shape[0], 38, 2), np.float32)
     sel[np.arange(19), pc[:, 0], 0] = 1.0
@@ -101,6 +96,45 @@ def score_candidates(peaks: Peaks, paf_up: jnp.ndarray,
           & safe
           & av[:, :, None] & bv[:, None, :])
     return Candidates(score=criterion2, ok=ok)
+
+
+def score_candidates(peaks: Peaks, paf_up: jnp.ndarray,
+                     params: DecodeParams) -> Candidates:
+    """Score all candidates. ``paf_up``: (H, W, 38) upsampled PAF map.
+
+    Row-gather formulation: one vectorised gather of full 38-channel
+    rows (contiguous lane loads beat 2 scalar gathers per sample on
+    TPU), then per-pair channel selection as a tiny one-hot
+    contraction that XLA fuses into the gather's consumer.
+    """
+    h, w, _ = paf_up.shape
+    vx, vy, norm, safe, av, bv, flat = _candidate_geometry(
+        peaks, h, w, params)
+    rows = paf_up.reshape(-1, paf_up.shape[-1])[flat]
+    return _score_from_rows(rows, vx, vy, norm, safe, av, bv, h, params)
+
+
+def score_candidates_batch(peaks_b: Peaks, paf_up_b: jnp.ndarray,
+                           params: DecodeParams) -> Candidates:
+    """Batched candidate scoring with ONE flat gather.
+
+    ``peaks_b`` fields are (B, 19parts..., K)-leading; ``paf_up_b`` is
+    (B, H, W, 38). A vmapped gather lowers poorly on TPU (measured
+    ~3x the per-image cost of the single-image path); flattening the
+    batch into the gather indices makes it one large gather, which XLA
+    handles at full bandwidth.
+    """
+    b, h, w, c = paf_up_b.shape
+    geo = jax.vmap(
+        lambda pk: _candidate_geometry(pk, h, w, params))(peaks_b)
+    vx, vy, norm, safe, av, bv, flat = geo
+    offs = (jnp.arange(b, dtype=jnp.int32) * (h * w)
+            )[:, None, None, None, None]
+    rows = paf_up_b.reshape(-1, c)[flat + offs]  # (B,19,K,K,S,38)
+    return jax.vmap(
+        lambda r, a1, a2, a3, a4, a5, a6: _score_from_rows(
+            r, a1, a2, a3, a4, a5, a6, h, params)
+    )(rows, vx, vy, norm, safe, av, bv)
 
 
 def greedy_connections(cands: Candidates,
