@@ -104,12 +104,13 @@ def main():
         except Exception as e:
             print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
 
-    # headline: thin 432x368 single-image latency path
+    # All 5 BASELINE.json configs (+ fast preset) run by default; the
+    # persistent XLA cache makes repeat compiles cheap. Set
+    # TFPOSE_BENCH_QUICK=1 for just the thin headline pair.
     run("thin_432x368_b1", "mobilenet_thin", 432, 368, 4.0, 1, 32)
-    # batched throughput (config 5 flavour)
     run("thin_432x368_b16", "mobilenet_thin", 432, 368, 4.0, 16, 8)
 
-    if os.environ.get("TFPOSE_BENCH_FULL"):
+    if not os.environ.get("TFPOSE_BENCH_QUICK"):
         run("v2small_368x368_b8", "mobilenet_v2_small", 368, 368, 4.0,
             8, 8)
         run("thin_fast_432x368_b1", "mobilenet_thin", 432, 368, 4.0,

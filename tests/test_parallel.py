@@ -98,3 +98,94 @@ def test_graft_entry_single():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert out.coords.shape[0] > 0
+
+
+def test_spatial_sharded_forward_parity():
+    """Sharding image H over the 'spatial' axis (GSPMD halo exchange
+    through the conv stack) must match the unsharded forward."""
+    from tfpose_tpu.models import get_network
+    from tfpose_tpu.pipeline.preprocess import normalize
+
+    net = get_network("mobilenet_thin")
+    h = w = 48
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, h, w, 3)), train=False)
+    rng_ = np.random.default_rng(1)
+    imgs = jnp.asarray(rng_.integers(0, 255, (4, h, w, 3), np.uint8))
+
+    def fwd(variables, x):
+        return net.apply(variables, normalize(x),
+                         train=False)["concat_stage7"]
+
+    ref = jax.jit(fwd)(variables, imgs)
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    with mesh:
+        v_r = jax.device_put(variables, replicated(mesh))
+        x_s = jax.device_put(imgs, batch_sharding(mesh, 1))
+        out = jax.jit(fwd)(v_r, x_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_spatial_sharded_train_step_parity():
+    """One train step with (data x spatial) sharding == unsharded:
+    loss and updated params must agree bit-near."""
+    from tfpose_tpu.models import get_network
+    from tfpose_tpu.train.state import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    net = get_network("mobilenet_thin")
+    h = w = 32
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, h, w, 3)), train=True)
+    tx = make_optimizer()
+    step = make_train_step(net, tx)
+    rng_ = np.random.default_rng(2)
+    batch = {
+        "image": jnp.asarray(rng_.normal(size=(8, h, w, 3)),
+                             jnp.float32),
+        "heat": jnp.asarray(rng_.normal(size=(8, h // 8, w // 8, 19)),
+                            jnp.float32),
+        "paf": jnp.asarray(rng_.normal(size=(8, h // 8, w // 8, 38)),
+                           jnp.float32),
+    }
+
+    state = TrainState.create(variables, tx)
+    ref_state, ref_metrics = jax.jit(step)(state, batch)
+
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    with mesh:
+        state_r = jax.device_put(TrainState.create(variables, tx),
+                                 replicated(mesh))
+        batch_s = shard_batch(mesh, batch, spatial_axis=1)
+        new_state, metrics = jax.jit(step)(state_r, batch_s)
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    # Adam's first-step update is +-lr * sign(grad); cross-device
+    # all-reduce order can flip the sign of an exactly-zero-mean
+    # gradient, so allow up to one step size (2e-4 = 2*lr) of drift —
+    # a real halo-exchange bug would diverge far beyond that.
+    ref_leaves = jax.tree.leaves(ref_state.params)
+    out_leaves = jax.tree.leaves(new_state.params)
+    for a, b in zip(out_leaves, ref_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2.1e-4, rtol=1e-4)
+
+
+def test_shard_batch_spatial_keys():
+    """'joints' must stay data-sharded even with a spatial mesh axis."""
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    batch = {
+        "image": jnp.zeros((8, 16, 16, 3)),
+        "joints": jnp.zeros((8, 4, 18, 2)),
+    }
+    with mesh:
+        out = shard_batch(mesh, batch, spatial_axis=1)
+    img_spec = out["image"].sharding.spec
+    joints_spec = out["joints"].sharding.spec
+    assert tuple(img_spec) == ("data", "spatial", None, None)
+    assert tuple(joints_spec) == ("data",)

@@ -45,7 +45,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, arrays, spatial_axis: Optional[int] = 1):
-    """Place host arrays onto the mesh with batch/spatial sharding."""
+# Batch-dict keys with NHWC spatial layout; everything else (e.g.
+# 'joints' (N, people, 18, 2)) is data-sharded only even when a
+# spatial mesh axis is active.
+SPATIAL_KEYS = ("image", "heat", "paf")
+
+
+def shard_batch(mesh: Mesh, arrays, spatial_axis: Optional[int] = 1,
+                spatial_keys: Sequence[str] = SPATIAL_KEYS):
+    """Place host arrays onto the mesh with batch/spatial sharding.
+
+    For dict batches, only ``spatial_keys`` entries get their spatial
+    axis sharded — coordinate-shaped entries ride the data axis alone.
+    """
     sh = batch_sharding(mesh, spatial_axis)
+    if isinstance(arrays, dict) and spatial_axis is not None:
+        data_only = batch_sharding(mesh, None)
+        return {k: jax.device_put(v, sh if k in spatial_keys
+                                  else data_only)
+                for k, v in arrays.items()}
     return jax.tree.map(lambda a: jax.device_put(a, sh), arrays)

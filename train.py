@@ -91,7 +91,20 @@ def main(argv=None):
                              "coords only)")
     parser.add_argument("--mesh-data", type=int, default=0,
                         help="0 = all devices on the data axis")
-    parser.add_argument("--mesh-spatial", type=int, default=1)
+    parser.add_argument("--mesh-spatial", type=int, default=1,
+                        help=">1 shards image/target height over the "
+                             "mesh 'spatial' axis (GSPMD halo "
+                             "exchanges)")
+    parser.add_argument("--remote-data", type=str, default="",
+                        help="comma-separated worker host:port list; "
+                             "consume batches from remote dataworkers "
+                             "(reference --remote-data / "
+                             "pose_dataworker.py)")
+    parser.add_argument("--logdir", type=str, default="",
+                        help="TensorBoard log dir (scalars + rendered "
+                             "predictions); default <checkpoint-dir>/"
+                             "logs when checkpointing")
+    parser.add_argument("--image-summary-every", type=int, default=200)
     parser.add_argument("--resume", type=str, default="")
     args = parser.parse_args(argv)
 
@@ -130,7 +143,13 @@ def main(argv=None):
     logger.info("mesh: %s over %d devices", dict(mesh.shape), n_dev)
 
     rng = np.random.default_rng(0)
-    if args.synthetic or not args.coco_json:
+    if args.remote_data:
+        from tfpose_tpu.train.dataworker import RemoteBatches
+        addrs = [(hp.rsplit(":", 1)[0], int(hp.rsplit(":", 1)[1]))
+                 for hp in args.remote_data.split(",")]
+        batches = iter(RemoteBatches(addrs))
+        logger.info("consuming remote batches from %s", addrs)
+    elif args.synthetic or not args.coco_json:
         if args.device_targets:
             batches = synthetic_joint_batches(args.batchsize, (w, h), rng)
         else:
@@ -146,24 +165,52 @@ def main(argv=None):
                 yield from PoseDataset(anns, (w, h), args.batchsize)
         batches = epochs()
 
+    from tfpose_tpu.train.summaries import (
+        make_writer, write_prediction_panel, write_scalars)
+    logdir = args.logdir or (args.checkpoint_dir + "/logs"
+                             if args.checkpoint_dir else "")
+    writer = make_writer(logdir)
+
+    @jax.jit
+    def predict_heat(state, image):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = net.apply(variables, image, train=False)["concat_stage7"]
+        return out[..., :19]  # heat channels lead the 57-ch concat
+
     step_jit = jax.jit(train_step)
+    spatial_axis = 1 if args.mesh_spatial > 1 else None
     with mesh:
         state = jax.device_put(state, replicated(mesh))
         t0 = time.time()
         for step, batch in enumerate(batches):
             if step >= args.max_steps:
                 break
-            batch = shard_batch(mesh, batch, spatial_axis=None)
+            batch = shard_batch(mesh, batch, spatial_axis=spatial_axis)
             state, metrics = step_jit(state, batch)
             if (step + 1) % args.log_every == 0:
                 loss = float(metrics["loss"])
                 rate = (step + 1) * args.batchsize / (time.time() - t0)
                 logger.info("step %d loss=%.1f (%.1f img/s)",
                             step + 1, loss, rate)
+                write_scalars(
+                    writer, step + 1,
+                    {f"train/{k}": float(v) for k, v in metrics.items()})
+                writer.scalar("train/images_per_sec", rate, step + 1)
+            if (args.image_summary_every and logdir
+                    and (step + 1) % args.image_summary_every == 0):
+                sample = np.asarray(batch["image"][:1])
+                heat_pred = np.asarray(predict_heat(state, sample))[0]
+                heat_gt = (np.asarray(batch["heat"][0])
+                           if "heat" in batch else None)
+                write_prediction_panel(writer, step + 1, sample[0],
+                                       heat_pred, heat_gt)
             if ckpt_mgr and (step + 1) % args.save_every == 0:
                 ckpt_mgr.save(step + 1, args=__import__(
                     "orbax.checkpoint", fromlist=["args"]
                 ).args.StandardSave(jax.device_get(state)))
+    writer.flush()
     if ckpt_mgr:
         import orbax.checkpoint as ocp
         ckpt_mgr.save(args.max_steps,
