@@ -121,6 +121,50 @@ def eval_synthetic(args, e):
     return evaluate_oks_ap(gts, dets)
 
 
+def eval_synthetic_e2e(args):
+    """End-to-end learning gate: rendered part-colour-coded IMAGES ->
+    full TfPoseEstimator (backbone + fused decode) -> OKS AP vs the
+    ground-truth skeletons. With ``--params`` pointing at a trained
+    checkpoint this proves the training stack learns (reference L4's
+    purpose, ``tf_pose/train.py``); with random init it scores ~0."""
+    from tfpose_tpu.core.topology import COCO17_FROM_MODEL18
+    from tfpose_tpu.utils import synthetic
+
+    w, h = model_wh(args.resize)
+    w, h = w or 96, h or 96
+    e = TfPoseEstimator(args.model, target_size=(w, h),
+                        dtype=args.dtype,
+                        params_path=args.params or None)
+    rng = np.random.default_rng(7)
+    gts, dets = {}, []
+    for idx in range(args.synthetic_e2e):
+        n_people = int(rng.integers(1, 3))
+        people = synthetic.random_people(
+            rng, n_people, h, w, separated=True,
+            template=synthetic.SPREAD_TEMPLATE)
+        img = synthetic.render_image(people, h, w, rng)
+        humans = e.inference(img, resize_to_default=False,
+                             upsample_size=args.resize_out_ratio)
+        dets.extend(humans_to_detections(humans, idx, w, h))
+        glist = []
+        for person in people:
+            kp, xs, ys = [], [], []
+            for coco_id in range(17):
+                part = int(COCO17_FROM_MODEL18[coco_id])
+                x, y = person[part]
+                if np.isnan(x):
+                    kp.extend([0, 0, 0])
+                else:
+                    kp.extend([x, y, 2])
+                    xs.append(x)
+                    ys.append(y)
+            area = ((max(xs) - min(xs)) * (max(ys) - min(ys))
+                    if xs else 1.0)
+            glist.append({"keypoints": kp, "area": area})
+        gts[idx] = glist
+    return evaluate_oks_ap(gts, dets)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="tfpose_tpu COCO keypoint evaluation")
@@ -141,18 +185,37 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0,
                         help="evaluate on N synthetic scenes instead of "
                              "COCO (no estimator/backbone involved)")
+    parser.add_argument("--synthetic-e2e", type=int, default=0,
+                        help="evaluate the FULL estimator (backbone + "
+                             "decode) on N rendered scenes — the "
+                             "trained-checkpoint learning gate")
+    parser.add_argument("--params", type=str, default="",
+                        help="msgpack params for --synthetic-e2e / "
+                             "--coco-json (trained checkpoint export)")
+    parser.add_argument("--assert-ap50", type=float, default=None,
+                        help="exit nonzero unless AP50 >= this value "
+                             "(hard regression gate)")
     args = parser.parse_args(argv)
 
-    if args.synthetic:
+    if args.synthetic_e2e:
+        stats = eval_synthetic_e2e(args)
+    elif args.synthetic:
         stats = eval_synthetic(args, None)
     elif args.coco_json:
         w, h = model_wh(args.resize)
         e = TfPoseEstimator(args.model, target_size=(w or 432, h or 368),
-                            dtype=args.dtype)
+                            dtype=args.dtype,
+                            params_path=args.params or None)
         stats = eval_coco(args, e)
     else:
-        parser.error("need --coco-json or --synthetic N")
+        parser.error("need --coco-json, --synthetic N, or "
+                     "--synthetic-e2e N")
     print(json.dumps(stats))
+    if args.assert_ap50 is not None:
+        ap50 = stats.get("AP50", stats.get("ap50", 0.0))
+        if ap50 < args.assert_ap50:
+            raise SystemExit(
+                f"AP50 gate failed: {ap50:.3f} < {args.assert_ap50}")
     return stats
 
 

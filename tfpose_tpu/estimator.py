@@ -137,6 +137,11 @@ class TfPoseEstimator:
 
         self.heatMat: Optional[np.ndarray] = None
         self.pafMat: Optional[np.ndarray] = None
+        # (18,) bool after each inference: parts whose top-K peak cap
+        # filled up — crowded scenes may have dropped low-score peaks
+        # (the reference decoder's peak scan is unbounded)
+        self.last_peak_saturated: Optional[np.ndarray] = None
+        self._warned_saturation = False
 
         if warmup:
             for scale in (1.0, 0.5, 0.25):
@@ -211,6 +216,28 @@ class TfPoseEstimator:
 
         return jax.jit(fn)
 
+    @functools.lru_cache(maxsize=16)
+    def _multiscale_pipeline(self, in_h: int, in_w: int, scales: tuple,
+                             ratio: float, overlap: float):
+        from tfpose_tpu.ops.decode import decode as _decode_fn
+        from tfpose_tpu.pipeline.multiscale import multiscale_forward
+
+        w, h = self.target_size
+        net = self.net
+        params = self.decode_params
+
+        def fn(variables, img):
+            def apply_batch(wins):
+                return net.apply(variables, normalize(wins),
+                                 train=False)["concat_stage7"]
+            merged = multiscale_forward(apply_batch, img, h, w,
+                                        scales=scales, overlap=overlap)
+            up_h = int(merged.shape[0] * ratio)
+            up_w = int(merged.shape[1] * ratio)
+            return _decode_fn(merged, up_h, up_w, params)
+
+        return jax.jit(fn)
+
     # ------------------------------------------------------------------
     # public API (reference signatures)
     # ------------------------------------------------------------------
@@ -252,6 +279,15 @@ class TfPoseEstimator:
         arrays = jax.tree.map(np.asarray, out)
         self.heatMat = np.asarray(heat_up)
         self.pafMat = np.asarray(paf_up)
+        self.last_peak_saturated = arrays.peak_saturated
+        if arrays.peak_saturated.any() and not self._warned_saturation:
+            logger.warning(
+                "peak cap (max_peaks=%d) saturated for parts %s — "
+                "crowded scene, low-score peaks may have been dropped; "
+                "raise DecodeParams.max_peaks for unbounded-parity",
+                self.decode_params.max_peaks,
+                np.where(arrays.peak_saturated)[0].tolist())
+            self._warned_saturation = True
         logger.debug("inference in %.4f s", time.time() - t)
 
         return PoseArrays(
@@ -292,6 +328,27 @@ class TfPoseEstimator:
         in_h, in_w = npimg.shape[:2]
         fn = self._windowed_pipeline(in_h, in_w, float(upsample_size),
                                      float(overlap))
+        out = fn(self.variables, jnp.asarray(npimg, jnp.uint8))
+        arrays = jax.tree.map(np.asarray, out)
+        return PoseArrays(
+            coords=arrays.coords, scores=arrays.part_scores,
+            part_valid=arrays.part_valid,
+            human_scores=arrays.human_scores,
+            human_valid=arrays.human_valid).to_humans()
+
+    def inference_multiscale(self, npimg: np.ndarray,
+                             scales=(1.0, 1.5, 2.0),
+                             upsample_size: float = 4.0,
+                             overlap: float = 0.2) -> List[Human]:
+        """Fractional scale-search (reference ``_get_scaled_img`` with
+        float scales + slidingwindow): the image is evaluated at each
+        scale with overlapping network-size windows, the stride-8 maps
+        are merged across windows AND scales on device, and decoded
+        once."""
+        in_h, in_w = npimg.shape[:2]
+        fn = self._multiscale_pipeline(
+            in_h, in_w, tuple(float(s) for s in scales),
+            float(upsample_size), float(overlap))
         out = fn(self.variables, jnp.asarray(npimg, jnp.uint8))
         arrays = jax.tree.map(np.asarray, out)
         return PoseArrays(

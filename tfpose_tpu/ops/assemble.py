@@ -63,6 +63,11 @@ class Assembled(NamedTuple):
     part_valid: jnp.ndarray    # (max_humans, 18) bool
     human_scores: jnp.ndarray  # (max_humans,) float32  (score sum / count)
     human_valid: jnp.ndarray   # (max_humans,) bool
+    # (18,) bool — part hit the max_peaks cap, i.e. every top-K slot is
+    # above threshold: the decode MAY have dropped real peaks of that
+    # part (the reference C++ scan is unbounded; see
+    # tests/test_peak_cap.py for the characterised divergence)
+    peak_saturated: jnp.ndarray
 
 
 def assemble_dense(peaks: Peaks, conns: Connections,
@@ -196,7 +201,8 @@ def assemble_dense(peaks: Peaks, conns: Connections,
 
     return Assembled(coords=coords, part_scores=part_scores,
                      part_valid=part_valid, human_scores=human_scores,
-                     human_valid=human_valid)
+                     human_valid=human_valid,
+                     peak_saturated=peaks.valid.all(axis=-1))
 
 
 def assemble(peaks: Peaks, conns: Connections,
@@ -313,4 +319,5 @@ def assemble(peaks: Peaks, conns: Connections,
 
     return Assembled(coords=coords, part_scores=part_scores,
                      part_valid=part_valid, human_scores=human_scores,
-                     human_valid=human_valid)
+                     human_valid=human_valid,
+                     peak_saturated=peaks.valid.all(axis=-1))

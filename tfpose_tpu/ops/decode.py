@@ -88,8 +88,8 @@ def decode(net_out: jnp.ndarray, up_h: int, up_w: int,
     net_out = net_out.astype(jnp.float32)
     heat = net_out[..., :NUM_HEATMAP_CH]
     pafm = net_out[..., NUM_HEATMAP_CH:]
+    h8, w8 = pafm.shape[0], pafm.shape[1]
     heat_up = resize.resize_area(heat, up_h, up_w)
-    paf_up = resize.resize_area(pafm, up_h, up_w)
     scores, idx = smooth_nms_topk_pallas(
         heat_up[..., :NUM_PARTS], params.max_peaks, params.thresh_heat,
         params.smooth_kernel_size, params.smooth_sigma)
@@ -97,7 +97,16 @@ def decode(net_out: jnp.ndarray, up_h: int, up_w: int,
     pk = nms.Peaks(x=(idx_safe % up_w).astype(jnp.int32),
                    y=(idx_safe // up_w).astype(jnp.int32),
                    score=scores, valid=scores > params.thresh_heat)
-    cands = paf.score_candidates(pk, paf_up, params)
+    if paf.can_use_pallas_sampling(h8, w8, up_h, up_w,
+                                   params.max_peaks):
+        # gather-free Pallas sampling on the RAW stride-8 planes —
+        # the upsampled PAF map never materialises (integer-factor
+        # area resize is exact replication)
+        cands = paf.score_candidates_pallas(pk, pafm, up_h, up_w,
+                                            params)
+    else:
+        paf_up = resize.resize_area(pafm, up_h, up_w)
+        cands = paf.score_candidates(pk, paf_up, params)
     conns = paf.greedy_connections(cands, params)
     out = assemble(pk, conns, params)
     scale = jnp.asarray([1.0 / up_w, 1.0 / up_h], jnp.float32)
@@ -124,10 +133,10 @@ def decode_batch(net_out: jnp.ndarray, up_h: int, up_w: int,
     from tfpose_tpu.ops.pallas.smooth_nms import smooth_nms_topk_pallas
 
     net_out = net_out.astype(jnp.float32)
+    pafm = net_out[..., NUM_HEATMAP_CH:]
+    h8, w8 = pafm.shape[1], pafm.shape[2]
     heat_up = resize.resize_area(net_out[..., :NUM_HEATMAP_CH],
                                  up_h, up_w)
-    paf_up = resize.resize_area(net_out[..., NUM_HEATMAP_CH:],
-                                up_h, up_w)
     scores, idx = jax.vmap(
         lambda t: smooth_nms_topk_pallas(
             t, params.max_peaks, params.thresh_heat,
@@ -137,7 +146,14 @@ def decode_batch(net_out: jnp.ndarray, up_h: int, up_w: int,
     pk = nms.Peaks(x=(idx_safe % up_w).astype(jnp.int32),
                    y=(idx_safe // up_w).astype(jnp.int32),
                    score=scores, valid=scores > params.thresh_heat)
-    cands = paf.score_candidates_batch(pk, paf_up, params)
+    if paf.can_use_pallas_sampling(h8, w8, up_h, up_w,
+                                   params.max_peaks):
+        cands = jax.vmap(
+            lambda p, m: paf.score_candidates_pallas(
+                p, m, up_h, up_w, params))(pk, pafm)
+    else:
+        paf_up = resize.resize_area(pafm, up_h, up_w)
+        cands = paf.score_candidates_batch(pk, paf_up, params)
     conns = jax.vmap(
         lambda c: paf.greedy_connections(c, params))(cands)
     out = jax.vmap(lambda p, c: assemble(p, c, params))(pk, conns)

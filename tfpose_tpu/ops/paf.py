@@ -137,6 +137,73 @@ def score_candidates_batch(peaks_b: Peaks, paf_up_b: jnp.ndarray,
     )(rows, vx, vy, norm, safe, av, bv)
 
 
+def score_candidates_pallas(peaks: Peaks, paf8: jnp.ndarray,
+                            up_h: int, up_w: int,
+                            params: DecodeParams,
+                            interpret: bool = False) -> Candidates:
+    """Gather-free candidate scoring via the Pallas sampling kernel.
+
+    ``paf8``: the RAW stride-8 PAF map (h8, w8, 38) — valid whenever
+    the decode upsample factor is integer, because integer-factor
+    ``resize_area`` is exact replication (ops/resize.py:87), so
+    paf_up[y, x] == paf8[y//f, x//f]. Callers must check
+    :func:`can_use_pallas_sampling` first.
+    """
+    from tfpose_tpu.ops.pallas.paf_score import (
+        HPAD, WPAD, paf_sample_scores_pallas)
+
+    h8, w8, _ = paf8.shape
+    fy, fx = up_h // h8, up_w // w8
+    vx, vy, norm, safe, av, bv, flat = _candidate_geometry(
+        peaks, up_h, up_w, params)
+    k = vx.shape[-1]
+    s = params.step_paf
+    iy8 = (flat // up_w) // fy                     # (19, K, K, S)
+    ix8 = (flat % up_w) // fx
+
+    # per-pair x/y channel planes, zero-padded and TRANSPOSED to the
+    # kernel layout (W on sublanes, H on lanes)
+    pc = jnp.asarray(paf_channels_array())         # (19, 2)
+    planes = jnp.transpose(paf8[:, :, pc], (2, 3, 1, 0))  # (19,2,w8,h8)
+    planes = jnp.pad(planes.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, WPAD - w8), (0, HPAD - h8)))
+    planes_t = planes.reshape(19, 2 * WPAD, HPAD)
+
+    def sample_major(a):                       # (19,K,K,S)->(19,S,KK)
+        return jnp.transpose(a, (0, 3, 1, 2)).reshape(19, s, k * k)
+
+    vxs = jnp.broadcast_to(vx[..., None], vx.shape + (s,))
+    vys = jnp.broadcast_to(vy[..., None], vy.shape + (s,))
+    mean, cnt = paf_sample_scores_pallas(
+        planes_t, sample_major(iy8), sample_major(ix8),
+        sample_major(vxs), sample_major(vys),
+        s_paf=s, thresh=float(params.thresh_vector_score),
+        interpret=interpret)
+    mean = mean.reshape(19, k, k)
+    cnt = cnt.reshape(19, k, k)
+
+    penalty = jnp.minimum(0.0, 0.5 * up_h / jnp.maximum(norm, 1e-12)
+                          - 1.0)
+    criterion2 = mean + penalty
+    ok = ((cnt > params.thresh_vector_cnt1)
+          & (criterion2 > 0.0)
+          & safe
+          & av[:, :, None] & bv[:, None, :])
+    return Candidates(score=criterion2, ok=ok)
+
+
+def can_use_pallas_sampling(h8: int, w8: int, up_h: int, up_w: int,
+                            max_peaks: int = 32) -> bool:
+    """Raw-grid kernel sampling is exact iff the upsample factor is a
+    pure integer replication, the planes fit the kernel tile, and the
+    candidate count tiles into 128-lane rows."""
+    from tfpose_tpu.ops.pallas.paf_score import HPAD, LANES, WPAD
+    return (up_h % h8 == 0 and up_w % w8 == 0
+            and up_h >= h8 and up_w >= w8
+            and h8 <= HPAD and w8 <= WPAD
+            and (max_peaks * max_peaks) % LANES == 0)
+
+
 def greedy_connections(cands: Candidates,
                        params: DecodeParams) -> Connections:
     """Greedy non-conflicting selection per pair (vmapped masked argmax).

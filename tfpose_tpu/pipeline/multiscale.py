@@ -113,15 +113,48 @@ def windowed_forward(apply_fn, img: jnp.ndarray, win_h: int, win_w: int,
     """Run ``apply_fn`` (batched NHWC -> (N, h/8, w/8, 57)) over all
     windows of ``img`` as one batch and merge to a full-image stride-8
     map. Jittable for static image size. Pads the image (edge mode) to
-    stride multiples when needed."""
+    stride multiples — and up to the window size — when needed."""
     img_h, img_w = int(img.shape[0]), int(img.shape[1])
-    pad_h = (-img_h) % 8
-    pad_w = (-img_w) % 8
-    if pad_h or pad_w:
-        img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
-        img_h += pad_h
-        img_w += pad_w
+    tgt_h = max(img_h + (-img_h) % 8, win_h)
+    tgt_w = max(img_w + (-img_w) % 8, win_w)
+    if (tgt_h, tgt_w) != (img_h, img_w):
+        img = jnp.pad(img, ((0, tgt_h - img_h), (0, tgt_w - img_w),
+                            (0, 0)), mode="edge")
+        img_h, img_w = tgt_h, tgt_w
     grid = generate_windows(img_h, img_w, win_h, win_w, overlap)
     wins = extract_windows(img, grid)           # (n, wh, ww, 3)
     maps = apply_fn(wins)                       # (n, wh/8, ww/8, 57)
     return merge_maps(maps, grid, out_scale=1.0 / 8.0)
+
+
+def multiscale_forward(apply_fn, img: jnp.ndarray, win_h: int,
+                       win_w: int, scales=(1.0,),
+                       overlap: float = 0.2) -> jnp.ndarray:
+    """True scale-search (reference ``_get_scaled_img`` float-scale
+    semantics, ``tf_pose/estimator.py:~380`` + vendored slidingwindow):
+    the image is resized to each fractional scale, every scale is
+    covered with overlapping network-size windows whose outputs are
+    distance-weight merged, and the per-scale stride-8 maps are
+    area-resampled onto the native grid and averaged.
+
+    TPU-native shape: each scale is ONE batched forward (static window
+    grid), the cross-scale average happens on device; nothing leaves
+    HBM until decode."""
+    from tfpose_tpu.ops.resize import resize_area, resize_bilinear
+
+    img_h, img_w = int(img.shape[0]), int(img.shape[1])
+    base_h = (img_h + (-img_h) % 8) // 8
+    base_w = (img_w + (-img_w) % 8) // 8
+    acc = None
+    for s in scales:
+        if s == 1.0:
+            scaled = img
+        else:
+            sh = max(int(round(img_h * s / 8.0)) * 8, 8)
+            sw = max(int(round(img_w * s / 8.0)) * 8, 8)
+            scaled = resize_bilinear(img.astype(jnp.float32), sh, sw)
+        m = windowed_forward(apply_fn, scaled, win_h, win_w, overlap)
+        if m.shape[:2] != (base_h, base_w):
+            m = resize_area(m, base_h, base_w)
+        acc = m if acc is None else acc + m
+    return acc / len(scales)

@@ -44,23 +44,39 @@ _TEMPLATE = np.array([
 ], dtype=np.float64)
 
 
+# Learnability variant: same topology, but face parts spread far
+# enough apart that they stay distinct at stride-8 resolution for
+# small rendered people — used by the trainer and the e2e learning
+# gate (the anatomical _TEMPLATE keeps the decode-parity goldens
+# stable).
+_SPREAD_TEMPLATE = _TEMPLATE.copy()
+_SPREAD_TEMPLATE[0] = [0.50, 0.13]   # Nose
+_SPREAD_TEMPLATE[14] = [0.40, 0.02]  # REye
+_SPREAD_TEMPLATE[15] = [0.60, 0.02]  # LEye
+_SPREAD_TEMPLATE[16] = [0.30, 0.08]  # REar
+_SPREAD_TEMPLATE[17] = [0.70, 0.08]  # LEar
+SPREAD_TEMPLATE = _SPREAD_TEMPLATE
+
+
 def random_people(rng: np.random.Generator, n_people: int,
                   h: int, w: int, jitter: float = 0.02,
                   drop_prob: float = 0.0,
-                  separated: bool = False) -> np.ndarray:
+                  separated: bool = False,
+                  template: np.ndarray | None = None) -> np.ndarray:
     """(n_people, 18, 2) float pixel coords; NaN marks dropped parts.
 
     ``separated=True`` places people in distinct vertical strips (the
     template is tall and narrow) so their peaks cannot merge — used by
     the hermetic eval gate, where accidental overlaps would look like
     decoder regressions."""
+    base = _TEMPLATE if template is None else template
     people = []
     for i in range(n_people):
         scale = rng.uniform(0.35, 0.8)
         if separated:
             # person width ~= 0.36 * scale; keep it inside its strip
             scale = min(scale, 0.8 / (0.36 * max(n_people, 1)) / 2.4)
-        pts = _TEMPLATE.copy()
+        pts = base.copy()
         pts = (pts - 0.5) * scale
         if separated:
             strip = (i + 0.5) / n_people
@@ -79,6 +95,64 @@ def random_people(rng: np.random.Generator, n_people: int,
             pts[drop] = np.nan
         people.append(pts)
     return np.stack(people) if people else np.zeros((0, NUM_PARTS, 2))
+
+
+def _part_palette() -> np.ndarray:
+    """(18, 3) uint8 — one well-separated colour per body part (HSV
+    wheel), so rendered joints are visually distinguishable and a
+    trained network can tell a nose from an ankle."""
+    cols = []
+    for i in range(NUM_PARTS):
+        hue = i / NUM_PARTS * 6.0
+        k = int(hue)
+        f = hue - k
+        p, q, t = 0.15, 1.0 - 0.85 * f, 0.15 + 0.85 * f
+        rgb = [(1.0, t, p), (q, 1.0, p), (p, 1.0, t),
+               (p, q, 1.0), (t, p, 1.0), (1.0, p, q)][k % 6]
+        cols.append([int(c * 255) for c in rgb])
+    return np.asarray(cols, np.uint8)
+
+
+PART_PALETTE = _part_palette()
+
+
+def render_image(people: np.ndarray, img_h: int, img_w: int,
+                 rng: np.random.Generator | None = None,
+                 joint_radius: int = 3) -> np.ndarray:
+    """Render a synthetic training/eval IMAGE (uint8 (H, W, 3)):
+    part-colour-coded joint discs + grey limb segments on a dark
+    noisy background. People coords are in image pixels.
+
+    This is the supervised-learnable counterpart of the heatmap/PAF
+    target renderers above: the joint colours make parts identifiable,
+    the limb lines give the PAF branch direction evidence."""
+    if rng is not None:
+        img = rng.integers(0, 25, (img_h, img_w, 3)).astype(np.uint8)
+    else:
+        img = np.zeros((img_h, img_w, 3), np.uint8)
+    pairs = pairs_array()
+    yy, xx = np.mgrid[0:img_h, 0:img_w]
+    for person in people:
+        # limbs (skip the redundant ear<->shoulder pairs 17, 18)
+        for pid in range(17):
+            a, b = person[pairs[pid][0]], person[pairs[pid][1]]
+            if np.isnan(a[0]) or np.isnan(b[0]):
+                continue
+            d = b - a
+            norm = np.hypot(d[0], d[1])
+            if norm < 1e-6:
+                continue
+            t = np.clip(((xx - a[0]) * d[0] + (yy - a[1]) * d[1])
+                        / (norm * norm), 0.0, 1.0)
+            dist = np.hypot(xx - a[0] - t * d[0], yy - a[1] - t * d[1])
+            img[dist <= 1.0] = 80
+        for part in range(NUM_PARTS):
+            px, py = person[part]
+            if np.isnan(px):
+                continue
+            mask = (xx - px) ** 2 + (yy - py) ** 2 <= joint_radius ** 2
+            img[mask] = PART_PALETTE[part]
+    return img
 
 
 def render_heatmap(people: np.ndarray, h: int, w: int,

@@ -19,6 +19,7 @@ logging.basicConfig(level=logging.INFO)
 
 def synthetic_joint_batches(batch_size, wh, rng, max_people=8):
     """Stream of {'image', 'joints'} batches for --device-targets."""
+    from tfpose_tpu.pipeline.preprocess import normalize
     from tfpose_tpu.utils import synthetic
 
     w, h = wh
@@ -26,23 +27,21 @@ def synthetic_joint_batches(batch_size, wh, rng, max_people=8):
         imgs, joints = [], []
         for _ in range(batch_size):
             n = int(rng.integers(1, 4))
-            people = synthetic.random_people(rng, n, h, w)
-            img = np.zeros((h, w, 3), np.float32)
-            for person in people:
-                for (x, y) in person:
-                    if np.isfinite(x):
-                        xi, yi = int(x), int(y)
-                        img[max(0, yi - 3):yi + 3,
-                            max(0, xi - 3):xi + 3] = 1.0
+            people = synthetic.random_people(
+                rng, n, h, w, template=synthetic.SPREAD_TEMPLATE)
+            img = synthetic.render_image(people, h, w, rng)
             padded = np.full((max_people, 18, 2), np.nan, np.float32)
             padded[:n] = people / 8.0  # stride-8 coords
-            imgs.append(img - 0.5)
+            imgs.append(np.asarray(normalize(img)))
             joints.append(padded)
         yield {"image": np.stack(imgs), "joints": np.stack(joints)}
 
 
 def synthetic_batches(batch_size, wh, rng, sigma=8.0):
-    """Endless stream of rendered scenes as training batches."""
+    """Endless stream of rendered scenes as training batches: part-
+    colour-coded joint images (same convention the e2e eval gate
+    renders) with stride-8 heatmap/PAF targets."""
+    from tfpose_tpu.pipeline.preprocess import normalize
     from tfpose_tpu.train.dataset import get_heatmap, get_vectormap
     from tfpose_tpu.utils import synthetic
 
@@ -52,18 +51,12 @@ def synthetic_batches(batch_size, wh, rng, sigma=8.0):
         imgs, heats, pafs = [], [], []
         for _ in range(batch_size):
             n = int(rng.integers(1, 4))
-            people = synthetic.random_people(rng, n, h, w)
-            img = np.zeros((h, w, 3), np.float32)
-            # paint simple blobs at joints so there is signal to learn
-            for person in people:
-                for (x, y) in person:
-                    if np.isfinite(x):
-                        xi, yi = int(x), int(y)
-                        img[max(0, yi - 3):yi + 3,
-                            max(0, xi - 3):xi + 3] = 1.0
+            people = synthetic.random_people(
+                rng, n, h, w, template=synthetic.SPREAD_TEMPLATE)
+            img = synthetic.render_image(people, h, w, rng)
             heat = get_heatmap(people / 8.0, hs, ws, sigma=sigma / 8.0)
             paf = get_vectormap(people / 8.0, hs, ws, threshold=1.0)
-            imgs.append(img - 0.5)
+            imgs.append(np.asarray(normalize(img)))
             heats.append(heat)
             pafs.append(paf)
         yield {"image": np.stack(imgs), "heat": np.stack(heats),
