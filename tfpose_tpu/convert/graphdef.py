@@ -81,8 +81,14 @@ def _unflatten(flat: Dict[tuple, Any]) -> Dict[str, Any]:
     return tree
 
 
+_BN_LEAF = {"scale": "gamma", "bias": "beta",
+            "mean": "moving_mean", "var": "moving_variance"}
+
+
 def tf1_name_for(path: tuple, collection: str, scope: str = "") -> str:
-    """Map a flax variable path to the reference-style TF1 const name.
+    """Map a flax variable path to the reference-style TF1 const name
+    (flat / network_base style; ``tf_pose/network_base.py:≈60`` builds
+    variable scopes like ``Conv2d_1_depthwise``).
 
     Examples (collection 'params'):
       ('MConv_Stage1', 'L1_1', 'depthwise', 'kernel')
@@ -94,8 +100,7 @@ def tf1_name_for(path: tuple, collection: str, scope: str = "") -> str:
     *mods, leaf = path
     mods = list(mods)
 
-    bn_leaf = {"scale": "gamma", "bias": "beta",
-               "mean": "moving_mean", "var": "moving_variance"}
+    bn_leaf = _BN_LEAF
 
     name: Optional[str] = None
     if mods and mods[-1] in ("depthwise", "pointwise"):
@@ -123,6 +128,100 @@ def tf1_name_for(path: tuple, collection: str, scope: str = "") -> str:
     return f"{scope}/{name}" if scope else name
 
 
+def tf1_slim_name_for(path: tuple, collection: str) -> Optional[str]:
+    """Slim-style nested name for MobileNet-v2 backbone variables, as
+    real ``tensorflow/models`` slim checkpoints/frozen graphs emit them
+    (reference vendored pkg ``tf_pose/mobilenet/mobilenet_v2.py``):
+
+      ('Conv', 'kernel')                       -> 'MobilenetV2/Conv/weights'
+      ('Conv_bn', 'scale')                     -> 'MobilenetV2/Conv/BatchNorm/gamma'
+      ('expanded_conv_0', 'depthwise', 'kernel')
+        -> 'MobilenetV2/expanded_conv/depthwise/depthwise_weights'
+          (slim leaves the FIRST block unindexed)
+      ('expanded_conv_3', 'expand', 'kernel')
+        -> 'MobilenetV2/expanded_conv_3/expand/weights'
+      ('expanded_conv_3', 'dw_bn', 'mean')
+        -> 'MobilenetV2/expanded_conv_3/depthwise/BatchNorm/moving_mean'
+
+    Returns None for paths that are not v2-backbone-shaped (CPM stages
+    etc. use the flat style).
+    """
+    *mods, leaf = path
+    if not mods:
+        return None
+    head = mods[0]
+    if not (head == "Conv" or head == "Conv_bn"
+            or head.startswith("expanded_conv")):
+        return None
+
+    def fix_block(n: str) -> str:
+        # slim: first expanded_conv has no _0 suffix
+        return "expanded_conv" if n == "expanded_conv_0" else n
+
+    parts = ["MobilenetV2"]
+    if head == "Conv":
+        parts.append("Conv")
+        rest = mods[1:]
+    elif head == "Conv_bn":
+        parts.append("Conv")
+        rest = ["bn"] + mods[1:]
+    else:
+        parts.append(fix_block(head))
+        rest = mods[1:]
+
+    bn_side = {"dw_bn": "depthwise", "pw_bn": "pointwise",
+               "expand_bn": "expand", "project_bn": "project"}
+    sub = rest[-1] if rest else None
+    if sub in bn_side:
+        parts += [bn_side[sub], "BatchNorm", _BN_LEAF[leaf]]
+    elif sub == "bn" or (sub and sub.endswith("_bn")):
+        if sub != "bn":
+            parts.append(sub[:-3])
+        parts += ["BatchNorm", _BN_LEAF[leaf]]
+    elif leaf in _BN_LEAF and collection == "batch_stats":
+        # bare BN module name (e.g. rest == ['bn'] already handled)
+        parts += (list(rest) + ["BatchNorm", _BN_LEAF[leaf]])
+    else:
+        parts += list(rest)
+        if leaf == "kernel":
+            parts.append("depthwise_weights" if parts[-1] == "depthwise"
+                         else "weights")
+        elif leaf == "bias":
+            parts.append("biases")
+        else:
+            parts.append(_BN_LEAF.get(leaf, leaf))
+    return "/".join(parts)
+
+
+def tf1_name_candidates(path: tuple, collection: str,
+                        scope: str = "") -> list:
+    """All plausible const names for a flax path, most-likely first.
+
+    Covers: the flat network_base style, the slim nested v2 style, each
+    under the scope prefixes real frozen graphs use ('' | 'Openpose'
+    from ``networks.py`` get_network scoping | the given scope), and
+    ``<name>/read`` Identity forms (tried by the caller).
+    """
+    names = []
+    slim = tf1_slim_name_for(path, collection)
+    if slim is not None:
+        names.append(slim)
+    flat = tf1_name_for(path, collection)
+    names.append(flat)
+
+    prefixes = []
+    for p in (scope, "Openpose", ""):
+        if p not in prefixes:
+            prefixes.append(p)
+    out = []
+    for n in names:
+        for p in prefixes:
+            full = f"{p}/{n}" if p else n
+            if full not in out:
+                out.append(full)
+    return out
+
+
 def _to_flax_layout(arr: np.ndarray, path: tuple) -> np.ndarray:
     """TF const -> flax param layout."""
     if path[-1] == "kernel" and "depthwise" in path:
@@ -139,12 +238,75 @@ def _from_flax_layout(arr: np.ndarray, path: tuple) -> np.ndarray:
     return arr
 
 
+def _lookup(consts: Dict[str, np.ndarray], path: tuple, coll: str,
+            scope: str) -> Optional[np.ndarray]:
+    for name in tf1_name_candidates(path, coll, scope):
+        arr = consts.get(name)
+        if arr is None:
+            # frozen graphs often read consts via Identity '<n>/read'
+            arr = consts.get(name + "/read")
+        if arr is not None:
+            return arr
+    return None
+
+
+def _folded_bn_value(consts: Dict[str, np.ndarray], path: tuple,
+                     coll: str, scope: str, shape) -> Optional[np.ndarray]:
+    """Identity BN stand-in for graphs with BatchNorm folded into the
+    conv (TF graph-transform ``fold_batch_norms``: conv weights are
+    pre-scaled and a ``biases`` const appears; the BN nodes vanish).
+
+    Folded semantics: y = conv(x, W') + b. Our flax module computes
+    bn(conv(x, W)) = (conv - mean)/sqrt(var+eps)*scale + bias, so with
+    W=W', mean=0, var=1-eps, scale=1, bias=b the outputs match exactly.
+    The ``var = 1 - eps`` trick makes sqrt(var+eps) == 1 for any eps.
+    """
+    *mods, leaf = path
+    if leaf not in _BN_LEAF or not mods:
+        return None
+    bn_mod = mods[-1]
+    side = {"dw_bn": "depthwise", "pw_bn": "pointwise"}.get(bn_mod)
+    if side is not None:
+        conv_path = tuple(mods[:-1]) + (side, "kernel")
+    elif bn_mod == "bn":
+        conv_path = tuple(mods[:-1]) + ("conv", "kernel")
+    elif bn_mod.endswith("_bn"):
+        conv_path = tuple(mods[:-1]) + (bn_mod[:-3], "kernel")
+    else:
+        return None
+    # the fold only applies when the conv's kernel IS present but its
+    # BatchNorm consts are not — find the conv's biases const
+    bias = None
+    for name in tf1_name_candidates(conv_path, "params", scope):
+        base = name.rsplit("/", 1)[0]
+        bias = consts.get(f"{base}/biases")
+        if bias is None:
+            bias = consts.get(f"{base}/biases/read")
+        if bias is not None:
+            break
+    if bias is None:
+        return None
+    bias = np.asarray(bias, np.float32).reshape(-1)
+    if bias.shape != tuple(shape):
+        return None
+    if leaf == "bias":
+        return bias
+    if leaf == "scale":
+        return np.ones_like(bias)
+    if leaf == "mean":
+        return np.zeros_like(bias)
+    return np.full_like(bias, 1.0 - 1e-3)  # var; eps=1e-3 in our BNs
+
+
 def graphdef_to_variables(graphdef, template: Dict[str, Any],
                           scope: str = "") -> Dict[str, Any]:
     """Build a flax variables pytree from a frozen GraphDef.
 
     ``template``: pytree from ``model.init`` defining structure/shapes.
-    Raises with a detailed report when names or shapes don't line up.
+    Tries every plausible reference naming (flat network_base style,
+    slim nested v2 style, scope prefixes, '/read' Identity forms) and
+    falls back to identity BN for folded-BatchNorm graphs. Raises with
+    a detailed report when names or shapes don't line up.
     """
     consts = extract_consts(graphdef)
     out_flat: Dict[tuple, np.ndarray] = {}
@@ -153,17 +315,19 @@ def graphdef_to_variables(graphdef, template: Dict[str, Any],
         if coll not in template:
             continue
         for path, value in _flatten(template[coll]).items():
-            tf_name = tf1_name_for(path, coll, scope)
-            arr = consts.get(tf_name)
+            arr = _lookup(consts, path, coll, scope)
             if arr is None:
-                # frozen graphs often read via Identity nodes
-                arr = consts.get(tf_name + "/read")
+                arr = _folded_bn_value(consts, path, coll, scope,
+                                       value.shape)
+                if arr is not None:
+                    out_flat[(coll,) + path] = arr
+                    continue
             if arr is None:
-                missing.append(tf_name)
+                missing.append(tf1_name_candidates(path, coll, scope)[0])
                 continue
             arr = _to_flax_layout(np.asarray(arr, np.float32), path)
             if arr.shape != value.shape:
-                mismatched.append((tf_name, arr.shape, value.shape))
+                mismatched.append((path, arr.shape, value.shape))
                 continue
             out_flat[(coll,) + path] = arr
     if missing or mismatched:
@@ -178,11 +342,19 @@ def graphdef_to_variables(graphdef, template: Dict[str, Any],
 # exporter (for round-trip tests and interop)
 # ---------------------------------------------------------------------------
 
-def variables_to_graphdef(variables: Dict[str, Any], scope: str = ""):
+def variables_to_graphdef(variables: Dict[str, Any], scope: str = "",
+                          style: str = "flat", read_nodes: bool = False):
     """Emit a GraphDef of Const nodes with reference-style TF1 names —
     the inverse of :func:`graphdef_to_variables` (used for round-trip
     tests while no real pb files are available, and to export our
-    trained weights for TF1 consumers)."""
+    trained weights for TF1 consumers).
+
+    ``style='slim'`` names v2-backbone variables the way real slim
+    frozen graphs do (``MobilenetV2/expanded_conv_N/...``, first block
+    unindexed); other variables keep the flat style. ``read_nodes``
+    additionally emits ``<name>/read`` Identity nodes as real frozen
+    graphs contain.
+    """
     from tensorflow.core.framework import graph_pb2
     from tensorflow.python.framework import tensor_util
 
@@ -191,13 +363,25 @@ def variables_to_graphdef(variables: Dict[str, Any], scope: str = ""):
         if coll not in variables:
             continue
         for path, value in _flatten(variables[coll]).items():
+            name = None
+            if style == "slim":
+                name = tf1_slim_name_for(path, coll)
+            if name is None:
+                name = tf1_name_for(path, coll, scope)
+            elif scope:
+                name = f"{scope}/{name}"
             node = gd.node.add()
-            node.name = tf1_name_for(path, coll, scope)
+            node.name = name
             node.op = "Const"
             arr = _from_flax_layout(np.asarray(value, np.float32), path)
             node.attr["dtype"].type = 1  # DT_FLOAT
             node.attr["value"].tensor.CopyFrom(
                 tensor_util.make_tensor_proto(arr))
+            if read_nodes:
+                rd = gd.node.add()
+                rd.name = name + "/read"
+                rd.op = "Identity"
+                rd.input.append(name)
     return gd
 
 
