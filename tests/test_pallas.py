@@ -110,30 +110,15 @@ def test_paf_score_kernel_interpret_parity():
                                   np.asarray(ref.ok))
 
 
-def test_paf_score_kernel_fast_preset_interpret():
-    """K=16 (fast preset) tiles into 2 lane rows; parity must hold."""
-    import jax.numpy as jnp
-
+def test_paf_score_kernel_fast_preset_gated_off():
+    """K=16 (fast preset) packs K*K=256 into 2 sublane rows — Mosaic
+    rejects partial blocks whose sublane dim isn't a multiple of 8
+    (seen on hardware), so the gate must route K=16 to the XLA gather."""
     from tfpose_tpu.core.config import DecodeParams
-    from tfpose_tpu.ops import nms, paf, resize
+    from tfpose_tpu.ops import paf
 
     params = DecodeParams.fast()
-    k = params.max_peaks
-    h8, w8, up_h, up_w = 46, 46, 184, 184
-    rng = np.random.default_rng(1)
-    paf8 = jnp.asarray(rng.normal(size=(h8, w8, 38)).astype(np.float32))
-    pk = nms.Peaks(
-        x=jnp.asarray(rng.integers(0, up_w, (19, k), dtype=np.int32)),
-        y=jnp.asarray(rng.integers(0, up_h, (19, k), dtype=np.int32)),
-        score=jnp.asarray(rng.uniform(0.1, 1, (19, k))
-                          .astype(np.float32)),
-        valid=jnp.asarray(rng.uniform(size=(19, k)) > 0.3))
-    assert paf.can_use_pallas_sampling(h8, w8, up_h, up_w, k)
-    ref = paf.score_candidates(
-        pk, resize.resize_area(paf8, up_h, up_w), params)
-    out = paf.score_candidates_pallas(pk, paf8, up_h, up_w, params,
-                                      interpret=True)
-    np.testing.assert_allclose(np.asarray(out.score),
-                               np.asarray(ref.score), atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(out.ok),
-                                  np.asarray(ref.ok))
+    assert not paf.can_use_pallas_sampling(46, 46, 184, 184,
+                                           params.max_peaks)
+    # the standard K=32 stays on the kernel
+    assert paf.can_use_pallas_sampling(46, 46, 184, 184, 32)

@@ -196,12 +196,15 @@ def can_use_pallas_sampling(h8: int, w8: int, up_h: int, up_w: int,
                             max_peaks: int = 32) -> bool:
     """Raw-grid kernel sampling is exact iff the upsample factor is a
     pure integer replication, the planes fit the kernel tile, and the
-    candidate count tiles into 128-lane rows."""
+    candidate count tiles into full (8, 128) VMEM blocks — Mosaic
+    requires the sublane dim of a partial block to be a multiple of 8,
+    so K*K must fill rows of 8x128 (K=32 ok; K=16 gives 2 sublanes and
+    falls back to the XLA gather, which is cheap at that K anyway)."""
     from tfpose_tpu.ops.pallas.paf_score import HPAD, LANES, WPAD
     return (up_h % h8 == 0 and up_w % w8 == 0
             and up_h >= h8 and up_w >= w8
             and h8 <= HPAD and w8 <= WPAD
-            and (max_peaks * max_peaks) % LANES == 0)
+            and (max_peaks * max_peaks) % (8 * LANES) == 0)
 
 
 def greedy_connections(cands: Candidates,
