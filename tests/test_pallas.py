@@ -32,54 +32,6 @@ def test_smooth_nms_on_synthetic_scene():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-def test_fused_sepconv_parity():
-    import jax
-    import jax.numpy as jnp
-
-    from tfpose_tpu.models.layers import SeparableConv
-    from tfpose_tpu.ops.pallas.sepconv import fold_bn, \
-        fused_separable_conv_chw
-
-    rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.normal(size=(2, 20, 24, 24)).astype(np.float32))
-    mod = SeparableConv(40, (3, 3))
-    v = mod.init(jax.random.PRNGKey(0), x, train=False)
-    v = jax.tree.map(
-        lambda t: t + 0.1 * rng.normal(size=t.shape).astype(t.dtype), v)
-    ref = mod.apply(v, x, train=False)
-    p, bs = v["params"], v["batch_stats"]
-    ds, db = fold_bn(p["dw_bn"]["scale"], p["dw_bn"]["bias"],
-                     bs["dw_bn"]["mean"], bs["dw_bn"]["var"])
-    ps, pb = fold_bn(p["pw_bn"]["scale"], p["pw_bn"]["bias"],
-                     bs["pw_bn"]["mean"], bs["pw_bn"]["var"])
-    x_chw = jnp.transpose(x, (0, 3, 1, 2))
-    got = fused_separable_conv_chw(x_chw, p["depthwise"]["kernel"], ds,
-                                   db, p["pointwise"]["kernel"], ps, pb,
-                                   interpret=True)
-    got = jnp.transpose(got, (0, 2, 3, 1))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=2e-4)
-
-
-def test_fused_thin_forward_parity():
-    import jax
-    import jax.numpy as jnp
-
-    from tfpose_tpu.models import get_network
-    from tfpose_tpu.models.fused import mobilenet_fused_forward
-
-    net = get_network("mobilenet_thin")
-    x = jnp.asarray(np.random.default_rng(3).normal(
-        size=(1, 48, 64, 3)).astype(np.float32))
-    v = net.init(jax.random.PRNGKey(0), x, train=False)
-    ref = net.apply(v, x, train=False)
-    got = mobilenet_fused_forward(v, x, interpret=True)
-    np.testing.assert_allclose(np.asarray(got["concat_stage7"]),
-                               np.asarray(ref["concat_stage7"]),
-                               atol=5e-4)
-    assert len(got["stages"]) == 6
-
-
 def test_paf_score_kernel_interpret_parity():
     """Gather-free PAF sampling kernel (interpret mode) vs the XLA
     row-gather reference path — scores and criteria must agree."""

@@ -97,16 +97,10 @@ class TfPoseEstimator:
                  dtype: str = "float32",
                  params_path: Optional[str] = None,
                  warmup: bool = False,
-                 fused: Optional[bool] = None,
                  device_preprocess: bool = False):
         from tfpose_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
 
-        # Fused Pallas forward (BN-folded separable blocks) is
-        # available but measured SLOWER than XLA's NHWC forward on
-        # v5e (see etcs/architecture.md "fused conv postmortem"), so
-        # the default is off; pass fused=True to experiment.
-        self.fused = bool(fused)
         # device_preprocess: resize incoming frames inside the jitted
         # program (bilinear) instead of host cv2 INTER_AREA — one
         # host->device transfer of the raw frame, reference-divergent
@@ -187,11 +181,9 @@ class TfPoseEstimator:
         return jax.jit(fn)
 
     def _apply_fn(self):
-        """Forward function: fused Pallas path or the flax module."""
-        if self.fused:
-            from tfpose_tpu.models.fused import mobilenet_fused_forward
-            return lambda variables, x: mobilenet_fused_forward(
-                variables, x)
+        """Inference forward function (XLA NHWC — measured faster than
+        every hand-fused variant; see etcs/architecture.md
+        "fused separable-conv postmortem")."""
         net = self.net
         return lambda variables, x: net.apply(variables, x, train=False)
 
