@@ -9,6 +9,7 @@ over ICI by XLA.
 
 import argparse
 import logging
+import os
 import time
 
 import numpy as np
@@ -123,12 +124,23 @@ def main(argv=None):
     ckpt_mgr = None
     if args.checkpoint_dir:
         import orbax.checkpoint as ocp
+        args.checkpoint_dir = os.path.abspath(args.checkpoint_dir)
         ckpt_mgr = ocp.CheckpointManager(
             args.checkpoint_dir,
             options=ocp.CheckpointManagerOptions(max_to_keep=3))
         if args.resume:
-            state = ckpt_mgr.restore(int(args.resume), args=ocp.args.StandardRestore(state))
-            logger.info("resumed from step %s", args.resume)
+            # accept a step number, 'latest', or (for convenience) the
+            # checkpoint dir itself
+            if args.resume.isdigit():
+                step0 = int(args.resume)
+            else:
+                step0 = ckpt_mgr.latest_step()
+                if step0 is None:
+                    raise SystemExit(
+                        f"no checkpoints in {args.checkpoint_dir}")
+            state = ckpt_mgr.restore(
+                step0, args=ocp.args.StandardRestore(state))
+            logger.info("resumed from step %s", step0)
 
     n_dev = len(jax.devices())
     n_data = args.mesh_data or max(n_dev // args.mesh_spatial, 1)
@@ -174,40 +186,44 @@ def main(argv=None):
 
     step_jit = jax.jit(train_step)
     spatial_axis = 1 if args.mesh_spatial > 1 else None
+    base = int(state.step)  # nonzero after --resume: steps continue
     with mesh:
         state = jax.device_put(state, replicated(mesh))
         t0 = time.time()
         for step, batch in enumerate(batches):
-            if step >= args.max_steps:
+            gstep = base + step + 1
+            if gstep > args.max_steps:
                 break
             batch = shard_batch(mesh, batch, spatial_axis=spatial_axis)
             state, metrics = step_jit(state, batch)
-            if (step + 1) % args.log_every == 0:
+            if gstep % args.log_every == 0:
                 loss = float(metrics["loss"])
                 rate = (step + 1) * args.batchsize / (time.time() - t0)
                 logger.info("step %d loss=%.1f (%.1f img/s)",
-                            step + 1, loss, rate)
+                            gstep, loss, rate)
                 write_scalars(
-                    writer, step + 1,
+                    writer, gstep,
                     {f"train/{k}": float(v) for k, v in metrics.items()})
-                writer.scalar("train/images_per_sec", rate, step + 1)
+                writer.scalar("train/images_per_sec", rate, gstep)
             if (args.image_summary_every and logdir
-                    and (step + 1) % args.image_summary_every == 0):
+                    and gstep % args.image_summary_every == 0):
                 sample = np.asarray(batch["image"][:1])
                 heat_pred = np.asarray(predict_heat(state, sample))[0]
                 heat_gt = (np.asarray(batch["heat"][0])
                            if "heat" in batch else None)
-                write_prediction_panel(writer, step + 1, sample[0],
+                write_prediction_panel(writer, gstep, sample[0],
                                        heat_pred, heat_gt)
-            if ckpt_mgr and (step + 1) % args.save_every == 0:
-                ckpt_mgr.save(step + 1, args=__import__(
+            if ckpt_mgr and gstep % args.save_every == 0:
+                ckpt_mgr.save(gstep, args=__import__(
                     "orbax.checkpoint", fromlist=["args"]
                 ).args.StandardSave(jax.device_get(state)))
     writer.flush()
     if ckpt_mgr:
         import orbax.checkpoint as ocp
-        ckpt_mgr.save(args.max_steps,
-                      args=ocp.args.StandardSave(jax.device_get(state)))
+        if ckpt_mgr.latest_step() != int(state.step):
+            ckpt_mgr.save(
+                int(state.step),
+                args=ocp.args.StandardSave(jax.device_get(state)))
         ckpt_mgr.wait_until_finished()
         logger.info("final checkpoint saved")
     # export inference params
