@@ -218,23 +218,33 @@ def greedy_connections(cands: Candidates,
     k = cands.score.shape[-1]
     neg = jnp.float32(-jnp.inf)
 
+    # Scatter/gather-free loop body: every per-iteration update is a
+    # dense one-hot compare-and-where over (K,) lanes and the selected
+    # score is re-derived with max() rather than flat[argmax]. The
+    # previous formulation (`used_a.at[ai].set`, `flat[arg]`) lowered
+    # to batched scalar scatters/gathers under the (batch x 19-pair)
+    # vmap, which serialised on TPU and cost ~1.5 ms/img at b=16 —
+    # 25x the whole PAF sampling kernel.
+    lane_k = jnp.arange(k, dtype=jnp.int32)
+
     def per_pair(score_kk, ok_kk):
         def body(t, carry):
             used_a, used_b, a_sl, b_sl, sc, val = carry
             masked = jnp.where(
                 ok_kk & ~used_a[:, None] & ~used_b[None, :], score_kk, neg)
             flat = masked.reshape(-1)
-            arg = jnp.argmax(flat)
-            best = flat[arg]
-            ai = (arg // k).astype(jnp.int32)
-            bi = (arg % k).astype(jnp.int32)
+            best = jnp.max(flat)
+            arg = jnp.argmax(flat).astype(jnp.int32)
+            ai = arg // k
+            bi = arg % k
             take = best > neg
-            used_a = used_a.at[ai].set(used_a[ai] | take)
-            used_b = used_b.at[bi].set(used_b[bi] | take)
-            a_sl = a_sl.at[t].set(jnp.where(take, ai, -1))
-            b_sl = b_sl.at[t].set(jnp.where(take, bi, -1))
-            sc = sc.at[t].set(jnp.where(take, best, 0.0))
-            val = val.at[t].set(take)
+            used_a = used_a | ((lane_k == ai) & take)
+            used_b = used_b | ((lane_k == bi) & take)
+            slot = lane_k == t
+            a_sl = jnp.where(slot, jnp.where(take, ai, -1), a_sl)
+            b_sl = jnp.where(slot, jnp.where(take, bi, -1), b_sl)
+            sc = jnp.where(slot, jnp.where(take, best, 0.0), sc)
+            val = jnp.where(slot, take, val)
             return used_a, used_b, a_sl, b_sl, sc, val
 
         init = (jnp.zeros(k, bool), jnp.zeros(k, bool),
