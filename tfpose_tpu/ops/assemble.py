@@ -100,9 +100,31 @@ def assemble_dense(peaks: Peaks, conns: Connections,
     e_pair = jnp.asarray(
         np.repeat(np.arange(pairs.shape[0], dtype=np.int32), k))
 
-    # one-hot edge incidence (E, N) — static-shape, built once
+    # one-hot edge incidence (E, N) — static-shape, built once.
+    # ALL node indexing below goes through these as fp32 matmuls
+    # (exact for ints < 2^24): under the batch vmap a dynamic-index
+    # gather like labels[a_node] lowers to serialised per-row gathers
+    # on TPU, while batched one-hot matmuls ride the MXU.
     oh_a = (a_node[:, None] == iota_n[None, :])
     oh_b = (b_node[:, None] == iota_n[None, :])
+    hp = jax.lax.Precision.HIGHEST  # fp32-exact aggregation
+    oh_a_f = oh_a.astype(jnp.float32)
+    oh_b_f = oh_b.astype(jnp.float32)
+
+    def at_a(vals):
+        """vals[a_node] as a matmul; vals int32/bool -> same dtype."""
+        out = jnp.matmul(oh_a_f, vals.astype(jnp.float32), precision=hp)
+        return out.astype(vals.dtype)
+
+    def at_b(vals):
+        out = jnp.matmul(oh_b_f, vals.astype(jnp.float32), precision=hp)
+        return out.astype(vals.dtype)
+
+    def at_labels(labels, vals):
+        """vals[labels] for (N,) int labels via a one-hot contraction."""
+        oh_l = (labels[:, None] == iota_n[None, :]).astype(jnp.float32)
+        out = jnp.matmul(oh_l, vals.astype(jnp.float32), precision=hp)
+        return out.astype(vals.dtype)
 
     big = jnp.int32(n)
 
@@ -110,17 +132,17 @@ def assemble_dense(peaks: Peaks, conns: Connections,
         labels = init
 
         def relax(labels):
-            la = jnp.where(active, labels[a_node], big)
-            lb = jnp.where(active, labels[b_node], big)
+            la = jnp.where(active, at_a(labels), big)
+            lb = jnp.where(active, at_b(labels), big)
             m = jnp.minimum(la, lb)  # (E,)
             cand_a = jnp.min(jnp.where(oh_a, m[:, None], big), axis=0)
             cand_b = jnp.min(jnp.where(oh_b, m[:, None], big), axis=0)
             labels = jnp.minimum(labels, jnp.minimum(cand_a, cand_b))
-            return labels[labels]
+            return at_labels(labels, labels)
 
         for _ in range(iters):
             labels = relax(labels)
-        return labels[labels]
+        return at_labels(labels, labels)
 
     def members(active):
         hit = (oh_a | oh_b) & active[:, None]
@@ -130,11 +152,11 @@ def assemble_dense(peaks: Peaks, conns: Connections,
     root0 = propagate(tree, iota_n, _LABEL_ITERS)
     used0 = members(tree)
     is17 = e_valid & (e_pair == 17)
-    applied17 = is17 & used0[a_node] & (root0[a_node] != root0[b_node])
+    applied17 = is17 & at_a(used0) & (at_a(root0) != at_b(root0))
     root1 = propagate(tree | applied17, root0, _INCR_ITERS)
     used1 = members(tree | applied17)
     is18 = e_valid & (e_pair == 18)
-    applied18 = is18 & used1[a_node] & (root1[a_node] != root1[b_node])
+    applied18 = is18 & at_a(used1) & (at_a(root1) != at_b(root1))
 
     e_applied = tree | applied17 | applied18
     root = propagate(e_applied, root1, _INCR_ITERS)
@@ -143,9 +165,8 @@ def assemble_dense(peaks: Peaks, conns: Connections,
     # per-root aggregates as matmuls over one-hot root membership
     oh_root = (root[:, None] == iota_n[None, :])          # (N, N)
     oh_root_f = oh_root.astype(jnp.float32)
-    edge_root = root[a_node]                               # (E,)
+    edge_root = at_a(root)                                 # (E,)
     oh_eroot = (edge_root[:, None] == iota_n[None, :])
-    hp = jax.lax.Precision.HIGHEST  # fp32-exact aggregation
     score_sum = jnp.matmul(jnp.where(e_applied, e_score, 0.0),
                            oh_eroot.astype(jnp.float32), precision=hp)
     score_sum = score_sum + jnp.matmul(
@@ -166,9 +187,8 @@ def assemble_dense(peaks: Peaks, conns: Connections,
     # part p are the contiguous slots [p*K, (p+1)*K)
     score_blk = node_score.reshape(num_parts, k)
     used_blk = used.reshape(num_parts, k)
-    root_blk = root.reshape(num_parts, k)
     # (num_parts, K, max_h+1) one-hot of each node's human index
-    hix = human_of_root[root_blk]                          # (P, K)
+    hix = at_labels(root, human_of_root).reshape(num_parts, k)
     oh_h = (hix[:, :, None]
             == jnp.arange(max_h + 1, dtype=jnp.int32)[None, None, :])
     contrib = jnp.where(used_blk[:, :, None] & oh_h,
