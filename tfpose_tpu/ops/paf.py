@@ -150,7 +150,7 @@ def score_candidates_pallas(peaks: Peaks, paf8: jnp.ndarray,
     :func:`can_use_pallas_sampling` first.
     """
     from tfpose_tpu.ops.pallas.paf_score import (
-        HPAD, WPAD, paf_sample_scores_pallas)
+        HPAD, paf_sample_scores_pallas)
 
     h8, w8, _ = paf8.shape
     fy, fx = up_h // h8, up_w // w8
@@ -162,12 +162,16 @@ def score_candidates_pallas(peaks: Peaks, paf8: jnp.ndarray,
     ix8 = (flat % up_w) // fx
 
     # per-pair x/y channel planes, zero-padded and TRANSPOSED to the
-    # kernel layout (W on sublanes, H on lanes)
+    # kernel layout (W on sublanes, H on lanes). W pads only to the
+    # next sublane multiple — the kernel's row-select matmul cost
+    # scales with the padded width, so a fixed 128 wastes ~2.3x MXU
+    # work at thin's w8=54.
+    wpad = ((w8 + 7) // 8) * 8
     pc = jnp.asarray(paf_channels_array())         # (19, 2)
     planes = jnp.transpose(paf8[:, :, pc], (2, 3, 1, 0))  # (19,2,w8,h8)
     planes = jnp.pad(planes.astype(jnp.float32),
-                     ((0, 0), (0, 0), (0, WPAD - w8), (0, HPAD - h8)))
-    planes_t = planes.reshape(19, 2 * WPAD, HPAD)
+                     ((0, 0), (0, 0), (0, wpad - w8), (0, HPAD - h8)))
+    planes_t = planes.reshape(19, 2 * wpad, HPAD)
 
     def sample_major(a):                       # (19,K,K,S)->(19,S,KK)
         return jnp.transpose(a, (0, 3, 1, 2)).reshape(19, s, k * k)
@@ -200,10 +204,10 @@ def can_use_pallas_sampling(h8: int, w8: int, up_h: int, up_w: int,
     requires the sublane dim of a partial block to be a multiple of 8,
     so K*K must fill rows of 8x128 (K=32 ok; K=16 gives 2 sublanes and
     falls back to the XLA gather, which is cheap at that K anyway)."""
-    from tfpose_tpu.ops.pallas.paf_score import HPAD, LANES, WPAD
+    from tfpose_tpu.ops.pallas.paf_score import HPAD, LANES, WPAD_MAX
     return (up_h % h8 == 0 and up_w % w8 == 0
             and up_h >= h8 and up_w >= w8
-            and h8 <= HPAD and w8 <= WPAD
+            and h8 <= HPAD and w8 <= WPAD_MAX
             and (max_peaks * max_peaks) % (8 * LANES) == 0)
 
 

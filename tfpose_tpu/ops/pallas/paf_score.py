@@ -45,18 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 # Plane padding: every standard config fits (thin 432x368 -> 46x54,
 # v2 368x368 -> 46x46, CMU 656x368 -> 46x82).
 HPAD = 128
-WPAD = 128
+WPAD_MAX = 512  # sanity cap for the fitted sublane padding
 LANES = 128
 
 
 def _kernel(planes_ref, iy_ref, ix_ref, vx_ref, vy_ref,
             sum_ref, cnt_ref, *, rows: int, thresh: float,
-            s_paf: int):
+            s_paf: int, wpad: int):
     """One (pair, sample-index) program over ``rows``*128 candidates.
 
-    planes_ref: (1, 2*WPAD, HPAD) TRANSPOSED planes — row w of
-      [0, WPAD) is x-channel column values P_x[:, w]; rows
-      [WPAD, 2*WPAD) the y-channel.
+    planes_ref: (1, 2*wpad, HPAD) TRANSPOSED planes — row w of
+      [0, wpad) is x-channel column values P_x[:, w]; rows
+      [wpad, 2*wpad) the y-channel. ``wpad`` is the raw plane width
+      padded to a sublane multiple (8) — sized to fit, NOT a fixed
+      128: the row-select matmul cost scales with it.
     iy/ix/vx/vy_ref: (rows, LANES) lane-packed samples of THIS sample
       index: lane l of row r is candidate r*128+l.
     sum_ref/cnt_ref: (rows, LANES) revolving accumulators (same block
@@ -69,20 +71,20 @@ def _kernel(planes_ref, iy_ref, ix_ref, vx_ref, vy_ref,
         sum_ref[...] = jnp.zeros((rows, LANES), jnp.float32)
         cnt_ref[...] = jnp.zeros((rows, LANES), jnp.float32)
 
-    planes_t = planes_ref[0]                       # (2*WPAD, HPAD)
+    planes_t = planes_ref[0]                       # (2*wpad, HPAD)
     hp = jax.lax.Precision.HIGHEST
     sub_h = jax.lax.broadcasted_iota(jnp.int32, (HPAD, LANES), 0)
-    sub_w = jax.lax.broadcasted_iota(jnp.int32, (WPAD, LANES), 0)
+    sub_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, LANES), 0)
 
     out_rows = []
     for r in range(rows):
         iy_row = iy_ref[r:r + 1, :]                # (1, LANES)
         ix_row = ix_ref[r:r + 1, :]
         oh_y = (sub_h == iy_row).astype(jnp.float32)   # (HPAD, LANES)
-        sel = jnp.dot(planes_t, oh_y, precision=hp)    # (2*WPAD, LANES)
-        oh_x = (sub_w == ix_row).astype(jnp.float32)   # (WPAD, LANES)
-        t = (sel[0:WPAD, :] * vx_ref[r:r + 1, :]
-             + sel[WPAD:2 * WPAD, :] * vy_ref[r:r + 1, :]) * oh_x
+        sel = jnp.dot(planes_t, oh_y, precision=hp)    # (2*wpad, LANES)
+        oh_x = (sub_w == ix_row).astype(jnp.float32)   # (wpad, LANES)
+        t = (sel[0:wpad, :] * vx_ref[r:r + 1, :]
+             + sel[wpad:2 * wpad, :] * vy_ref[r:r + 1, :]) * oh_x
         out_rows.append(jnp.sum(t, axis=0, keepdims=True))
     s_blk = jnp.concatenate(out_rows, axis=0)      # (rows, LANES)
     sum_ref[...] += s_blk
@@ -98,7 +100,8 @@ def paf_sample_scores_pallas(planes_t: jnp.ndarray, iy: jnp.ndarray,
                              interpret: bool = False):
     """Per-candidate (mean PAF score, #samples above ``thresh``).
 
-    planes_t: (P, 2*WPAD, HPAD) fp32 transposed per-pair planes.
+    planes_t: (P, 2*wpad, HPAD) fp32 transposed per-pair planes,
+      wpad a multiple of 8 (fit to the raw plane width).
     iy, ix, vx, vy: (P, S, KK) raw-grid sample coords / per-sample
       direction components; KK must be a multiple of 128.
     Returns (mean, cnt): each (P, KK) fp32.
@@ -107,6 +110,9 @@ def paf_sample_scores_pallas(planes_t: jnp.ndarray, iy: jnp.ndarray,
     p, s, kk = iy.shape
     assert s == s_paf and kk % LANES == 0
     rows = kk // LANES
+    wpad2 = planes_t.shape[1]
+    assert wpad2 % 16 == 0 and planes_t.shape[2] == HPAD
+    wpad = wpad2 // 2
 
     def pack(a, dtype):
         return a.reshape(p * s * rows, LANES).astype(dtype)
@@ -119,12 +125,12 @@ def paf_sample_scores_pallas(planes_t: jnp.ndarray, iy: jnp.ndarray,
                             memory_space=pltpu.VMEM)
     total, cnt = pl.pallas_call(
         functools.partial(_kernel, rows=rows, thresh=thresh,
-                          s_paf=s_paf),
+                          s_paf=s_paf, wpad=wpad),
         out_shape=(jax.ShapeDtypeStruct((p * rows, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((p * rows, LANES), jnp.float32)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2 * WPAD, HPAD), lambda pi, si: (pi, 0, 0),
+            pl.BlockSpec((1, 2 * wpad, HPAD), lambda pi, si: (pi, 0, 0),
                          memory_space=pltpu.VMEM),
             samp_spec, samp_spec, samp_spec, samp_spec,
         ],

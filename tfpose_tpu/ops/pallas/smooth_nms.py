@@ -103,24 +103,30 @@ def _topk_kernel(x_ref, scores_ref, idx_ref, *, kern: tuple, pad: int,
 
     # iterative exact top-K per channel, each round two cheap VPU
     # reduces — max, then min-index among ties to match jax.lax.top_k /
-    # the reference's row-major scan preference. Results accumulate in
-    # (8, 128) register tiles (TPU-aligned) written once per channel.
+    # the reference's row-major scan preference. The round loop is the
+    # outer one so each round's c_blk channel reductions are mutually
+    # independent (ILP): the serial dependency chain is k_top rounds,
+    # not c_blk * k_top. All per-round ops stay 2-D — Mosaic's layout
+    # pass crashes on (c, 1, 1) keepdims reductions. Results accumulate
+    # in (8, 128) register tiles (TPU-aligned), written once at the end.
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128 + \
         jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    for c in range(c_blk):
-        peaks = peaks_blk[c]
-        fi = flat_idx[c]
-        scores_acc = jnp.zeros((8, 128), jnp.float32)
-        idx_acc = jnp.full((8, 128), -1, jnp.int32)
-        for t in range(k_top):
-            m = jnp.max(peaks)
-            idx = jnp.min(jnp.where(peaks >= m, fi, jnp.int32(h * w)))
+    fi2 = flat_idx[0]                                   # (h, w), same /ch
+    peaks = [peaks_blk[c] for c in range(c_blk)]
+    scores_acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(c_blk)]
+    idx_acc = [jnp.full((8, 128), -1, jnp.int32) for _ in range(c_blk)]
+    for t in range(k_top):
+        for c in range(c_blk):
+            m = jnp.max(peaks[c])
+            idx = jnp.min(jnp.where(peaks[c] >= m, fi2, jnp.int32(h * w)))
             found = m > neg
-            scores_acc = jnp.where((lane == t) & found, m, scores_acc)
-            idx_acc = jnp.where((lane == t) & found, idx, idx_acc)
-            peaks = jnp.where(fi == idx, neg, peaks)
-        scores_ref[c] = scores_acc
-        idx_ref[c] = idx_acc
+            sel = (lane == t) & found
+            scores_acc[c] = jnp.where(sel, m, scores_acc[c])
+            idx_acc[c] = jnp.where(sel, idx, idx_acc[c])
+            peaks[c] = jnp.where(fi2 == idx, neg, peaks[c])
+    for c in range(c_blk):
+        scores_ref[c] = scores_acc[c]
+        idx_ref[c] = idx_acc[c]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
