@@ -62,15 +62,37 @@ def test_paf_score_kernel_interpret_parity():
                                   np.asarray(ref.ok))
 
 
-def test_paf_score_kernel_fast_preset_gated_off():
+def test_paf_score_kernel_fast_preset_uses_padded_tiles():
     """K=16 (fast preset) packs K*K=256 into 2 sublane rows — Mosaic
     rejects partial blocks whose sublane dim isn't a multiple of 8
-    (seen on hardware), so the gate must route K=16 to the XLA gather."""
+    (seen on hardware). score_candidates_pallas now zero-pads the
+    candidate axis to full (8, 128) tiles, so the gate admits K=16 and
+    the padded kernel result must match the XLA gather path exactly."""
+    import jax.numpy as jnp
+
     from tfpose_tpu.core.config import DecodeParams
-    from tfpose_tpu.ops import paf
+    from tfpose_tpu.ops import nms, paf, resize
 
     params = DecodeParams.fast()
-    assert not paf.can_use_pallas_sampling(46, 46, 184, 184,
-                                           params.max_peaks)
-    # the standard K=32 stays on the kernel
+    assert paf.can_use_pallas_sampling(46, 46, 184, 184,
+                                       params.max_peaks)
     assert paf.can_use_pallas_sampling(46, 46, 184, 184, 32)
+
+    rng = np.random.default_rng(3)
+    h8 = w8 = 46
+    up = 184
+    net = rng.normal(0, 0.3, (h8, w8, 57)).astype(np.float32)
+    heat_up = resize.resize_area(jnp.asarray(net[..., :19]), up, up)
+    from tfpose_tpu.ops.gaussian import smooth
+    peaks_map = nms.nms(smooth(heat_up, params.smooth_kernel_size,
+                               params.smooth_sigma), params.nms_window)
+    pk = nms.top_peaks(peaks_map, params.max_peaks, params.thresh_heat)
+    pafm = jnp.asarray(net[..., 19:])
+    out = paf.score_candidates_pallas(pk, pafm, up, up, params,
+                                      interpret=True)
+    paf_up = resize.resize_area(pafm, up, up)
+    ref = paf.score_candidates(pk, paf_up, params)
+    np.testing.assert_allclose(np.asarray(out.score),
+                               np.asarray(ref.score), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.ok),
+                                  np.asarray(ref.ok))

@@ -173,18 +173,30 @@ def score_candidates_pallas(peaks: Peaks, paf8: jnp.ndarray,
                      ((0, 0), (0, 0), (0, wpad - w8), (0, HPAD - h8)))
     planes_t = planes.reshape(19, 2 * wpad, HPAD)
 
-    def sample_major(a):                       # (19,K,K,S)->(19,S,KK)
-        return jnp.transpose(a, (0, 3, 1, 2)).reshape(19, s, k * k)
+    # pad the candidate axis to full (8, 128) VMEM tiles — small K
+    # (e.g. the fast preset's 16 -> K*K=256) would otherwise give
+    # partial-sublane blocks that Mosaic rejects. Pad samples point at
+    # (0, 0) with zero direction, so their scores/counts are exactly 0
+    # and are sliced off before reshape.
+    kk = k * k
+    kk_pad = ((kk + 1023) // 1024) * 1024
+
+    def sample_major(a, fill):                 # (19,K,K,S)->(19,S,KKp)
+        a = jnp.transpose(a, (0, 3, 1, 2)).reshape(19, s, kk)
+        if kk_pad != kk:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, kk_pad - kk)),
+                        constant_values=fill)
+        return a
 
     vxs = jnp.broadcast_to(vx[..., None], vx.shape + (s,))
     vys = jnp.broadcast_to(vy[..., None], vy.shape + (s,))
     mean, cnt = paf_sample_scores_pallas(
-        planes_t, sample_major(iy8), sample_major(ix8),
-        sample_major(vxs), sample_major(vys),
+        planes_t, sample_major(iy8, 0), sample_major(ix8, 0),
+        sample_major(vxs, 0.0), sample_major(vys, 0.0),
         s_paf=s, thresh=float(params.thresh_vector_score),
         interpret=interpret)
-    mean = mean.reshape(19, k, k)
-    cnt = cnt.reshape(19, k, k)
+    mean = mean[:, :kk].reshape(19, k, k)
+    cnt = cnt[:, :kk].reshape(19, k, k)
 
     penalty = jnp.minimum(0.0, 0.5 * up_h / jnp.maximum(norm, 1e-12)
                           - 1.0)
@@ -199,16 +211,14 @@ def score_candidates_pallas(peaks: Peaks, paf8: jnp.ndarray,
 def can_use_pallas_sampling(h8: int, w8: int, up_h: int, up_w: int,
                             max_peaks: int = 32) -> bool:
     """Raw-grid kernel sampling is exact iff the upsample factor is a
-    pure integer replication, the planes fit the kernel tile, and the
-    candidate count tiles into full (8, 128) VMEM blocks — Mosaic
-    requires the sublane dim of a partial block to be a multiple of 8,
-    so K*K must fill rows of 8x128 (K=32 ok; K=16 gives 2 sublanes and
-    falls back to the XLA gather, which is cheap at that K anyway)."""
-    from tfpose_tpu.ops.pallas.paf_score import HPAD, LANES, WPAD_MAX
+    pure integer replication and the planes fit the kernel tile.
+    Candidate counts that don't fill (8, 128) VMEM blocks (e.g. the
+    fast preset's K=16 -> 256) are zero-padded to full tiles by
+    :func:`score_candidates_pallas`."""
+    from tfpose_tpu.ops.pallas.paf_score import HPAD, WPAD_MAX
     return (up_h % h8 == 0 and up_w % w8 == 0
             and up_h >= h8 and up_w >= w8
-            and h8 <= HPAD and w8 <= WPAD_MAX
-            and (max_peaks * max_peaks) % (8 * LANES) == 0)
+            and h8 <= HPAD and w8 <= WPAD_MAX)
 
 
 def greedy_connections(cands: Candidates,
