@@ -30,7 +30,11 @@ BASELINE_IMAGES_PER_SEC = 5.0  # reconstructed TF1 CPU reference (BASELINE.md)
 
 
 def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
-                 n_rep=3, fast=False):
+                 n_rep=6, fast=False):
+    # n_rep: per-image time is min-of-n_rep of the differential slope's
+    # two endpoints; the tunnel's per-call jitter is one-sided, so the
+    # min is the clean estimate — 6 reps tightens the b=1 slope from
+    # +-0.5 ms to ~+-0.1 ms at negligible cost (a rep is <100 ms).
     import jax
     import jax.numpy as jnp
 
@@ -117,7 +121,7 @@ def main():
             1, 32, fast=True)
         run("v2large_432x368_b1", "mobilenet_v2_large", 432, 368, 4.0,
             1, 16)
-        run("cmu_656x368_b1", "cmu", 656, 368, 4.0, 1, 8, n_rep=2)
+        run("cmu_656x368_b1", "cmu", 656, 368, 4.0, 1, 8, n_rep=4)
 
     head = results.get("thin_432x368_b1")
     if head is None:

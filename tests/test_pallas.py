@@ -96,3 +96,31 @@ def test_paf_score_kernel_fast_preset_uses_padded_tiles():
                                np.asarray(ref.score), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(out.ok),
                                   np.asarray(ref.ok))
+
+
+def test_phase_kernel_matches_fullres_kernel():
+    """The phase-decomposed raw-grid smooth+NMS+top-K must reproduce
+    the full-resolution kernel exactly: identical flat indices and
+    scores to fp32 summation tolerance, across factors 1/2/4/8."""
+    import jax.numpy as jnp
+
+    from tfpose_tpu.ops import resize
+    from tfpose_tpu.ops.pallas.smooth_nms import (
+        can_use_phase_kernel, smooth_nms_topk_pallas,
+        smooth_nms_topk_raw_pallas)
+
+    rng = np.random.default_rng(0)
+    for (h8, w8, f) in [(46, 54, 4), (23, 27, 2), (10, 12, 8),
+                        (46, 54, 1)]:
+        assert can_use_phase_kernel(h8, w8, h8 * f, w8 * f)
+        heat8 = rng.normal(0, 0.3, (h8, w8, 18)).astype(np.float32)
+        heat_up = resize.resize_area(jnp.asarray(heat8), h8 * f, w8 * f)
+        s_ref, i_ref = smooth_nms_topk_pallas(heat_up, 32, 0.05,
+                                              interpret=True)
+        s_new, i_new = smooth_nms_topk_raw_pallas(
+            jnp.asarray(heat8), f, f, 32, 0.05, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_ref),
+                                      np.asarray(i_new))
+        np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_new),
+                                   atol=1e-6)
+    assert not can_use_phase_kernel(46, 54, 183, 216)  # non-integer

@@ -83,16 +83,27 @@ def decode(net_out: jnp.ndarray, up_h: int, up_w: int,
         return decode_maps(peaks_map, paf_up, params)
 
     from tfpose_tpu.core.topology import NUM_PARTS
-    from tfpose_tpu.ops.pallas.smooth_nms import smooth_nms_topk_pallas
+    from tfpose_tpu.ops.pallas.smooth_nms import (
+        can_use_phase_kernel, smooth_nms_topk_pallas,
+        smooth_nms_topk_raw_pallas)
 
     net_out = net_out.astype(jnp.float32)
     heat = net_out[..., :NUM_HEATMAP_CH]
     pafm = net_out[..., NUM_HEATMAP_CH:]
     h8, w8 = pafm.shape[0], pafm.shape[1]
-    heat_up = resize.resize_area(heat, up_h, up_w)
-    scores, idx = smooth_nms_topk_pallas(
-        heat_up[..., :NUM_PARTS], params.max_peaks, params.thresh_heat,
-        params.smooth_kernel_size, params.smooth_sigma)
+    if can_use_phase_kernel(h8, w8, up_h, up_w):
+        # integer upsample: blur/NMS/top-K phase-decomposed on the raw
+        # planes — the upsampled heat map never materialises
+        scores, idx = smooth_nms_topk_raw_pallas(
+            heat[..., :NUM_PARTS], up_h // h8, up_w // w8,
+            params.max_peaks, params.thresh_heat,
+            params.smooth_kernel_size, params.smooth_sigma)
+    else:
+        heat_up = resize.resize_area(heat, up_h, up_w)
+        scores, idx = smooth_nms_topk_pallas(
+            heat_up[..., :NUM_PARTS], params.max_peaks,
+            params.thresh_heat, params.smooth_kernel_size,
+            params.smooth_sigma)
     idx_safe = jnp.maximum(idx, 0)
     pk = nms.Peaks(x=(idx_safe % up_w).astype(jnp.int32),
                    y=(idx_safe // up_w).astype(jnp.int32),
@@ -130,18 +141,28 @@ def decode_batch(net_out: jnp.ndarray, up_h: int, up_w: int,
         return jax.vmap(lambda t: decode(t, up_h, up_w, params))(net_out)
 
     from tfpose_tpu.core.topology import NUM_PARTS
-    from tfpose_tpu.ops.pallas.smooth_nms import smooth_nms_topk_pallas
+    from tfpose_tpu.ops.pallas.smooth_nms import (
+        can_use_phase_kernel, smooth_nms_topk_pallas,
+        smooth_nms_topk_raw_pallas)
 
     net_out = net_out.astype(jnp.float32)
     pafm = net_out[..., NUM_HEATMAP_CH:]
     h8, w8 = pafm.shape[1], pafm.shape[2]
-    heat_up = resize.resize_area(net_out[..., :NUM_HEATMAP_CH],
-                                 up_h, up_w)
-    scores, idx = jax.vmap(
-        lambda t: smooth_nms_topk_pallas(
-            t, params.max_peaks, params.thresh_heat,
-            params.smooth_kernel_size, params.smooth_sigma)
-    )(heat_up[..., :NUM_PARTS])
+    if can_use_phase_kernel(h8, w8, up_h, up_w):
+        scores, idx = jax.vmap(
+            lambda t: smooth_nms_topk_raw_pallas(
+                t, up_h // h8, up_w // w8, params.max_peaks,
+                params.thresh_heat, params.smooth_kernel_size,
+                params.smooth_sigma)
+        )(net_out[..., :NUM_PARTS])
+    else:
+        heat_up = resize.resize_area(net_out[..., :NUM_HEATMAP_CH],
+                                     up_h, up_w)
+        scores, idx = jax.vmap(
+            lambda t: smooth_nms_topk_pallas(
+                t, params.max_peaks, params.thresh_heat,
+                params.smooth_kernel_size, params.smooth_sigma)
+        )(heat_up[..., :NUM_PARTS])
     idx_safe = jnp.maximum(idx, 0)
     pk = nms.Peaks(x=(idx_safe % up_w).astype(jnp.int32),
                    y=(idx_safe // up_w).astype(jnp.int32),

@@ -192,3 +192,193 @@ def smooth_nms_pallas(heat: jnp.ndarray, kernlen: int = 25,
         interpret=interpret,
     )(x)
     return jnp.transpose(out, (1, 2, 0))
+
+
+# ---------------------------------------------------------------------------
+# Phase-decomposed variant: smooth+NMS+top-K directly on the RAW
+# stride-8 planes (exact for integer upsample factors)
+# ---------------------------------------------------------------------------
+
+def _phase_weights(kern, f: int, p: int):
+    """Group the 1-D blur taps by raw-grid cell, per output phase.
+
+    With integer-factor area upsampling, up[X] = raw[X // f], so the
+    blurred value at X = f*i + a is
+      sum_k kern[k] * up[X + k - p] = sum_d W[a, d] * raw[i + d]
+    where d = floor((a + k - p) / f). The grouping is exact under the
+    reference's zero padding of the UPSAMPLED map because a raw cell
+    outside [0, n) only ever receives taps whose upsampled position is
+    also outside [0, f*n). Returns ((f, n_d) weights, dmin, dmax).
+    """
+    import numpy as np
+
+    nk = len(kern)
+    dmin = min(int(np.floor((a - p) / f)) for a in range(f))
+    dmax = max(int(np.floor((a + nk - 1 - p) / f)) for a in range(f))
+    w = np.zeros((f, dmax - dmin + 1), np.float64)
+    for a in range(f):
+        for k in range(nk):
+            d = int(np.floor((a + k - p) / f))
+            w[a, d - dmin] += kern[k]
+    return w.astype(np.float32), dmin, dmax
+
+
+def _topk_phase_kernel(x_ref, scores_ref, idx_ref, *, wv: tuple,
+                       wh: tuple, h8: int, w8: int, fy: int, fx: int,
+                       k_top: int, thresh: float, c_blk: int):
+    """Blur/NMS/top-K on raw planes via phase decomposition.
+
+    x_ref: (c_blk, h8 + nv - 1, w8 + nh - 1) zero-padded raw planes.
+    Emits the same (c_blk, 8, 128) score/idx tiles as _topk_kernel,
+    with flat indices in UPSAMPLED (fy*h8 x fx*w8) coordinates — the
+    upsampled heat plane never exists anywhere.
+    """
+    neg = jnp.float32(-jnp.inf)
+    nv = len(wv[0])
+    nh = len(wh[0])
+    x = x_ref[...]
+
+    # vertical phase convs: fy planes of (c, h8, w8 + nh - 1)
+    vs = []
+    for a in range(fy):
+        acc = wv[a][0] * x[:, 0:h8, :]
+        for t in range(1, nv):
+            if wv[a][t] != 0.0:
+                acc = acc + wv[a][t] * x[:, t:t + h8, :]
+        vs.append(acc)
+    # horizontal: (fy, fx) planes of (c, h8, w8)
+    sm = {}
+    for a in range(fy):
+        for b in range(fx):
+            acc = wh[b][0] * vs[a][:, :, 0:w8]
+            for t in range(1, nh):
+                if wh[b][t] != 0.0:
+                    acc = acc + wh[b][t] * vs[a][:, :, t:t + w8]
+            sm[(a, b)] = acc
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (c_blk, h8, w8), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (c_blk, h8, w8), 2)
+
+    # 3x3 NMS on the upsampled grid: the neighbour of phase (a, b) in
+    # direction (dy, dx) lives in phase ((a+dy)%fy, (b+dx)%fx) at raw
+    # offset (floor((a+dy)/fy), floor((b+dx)/fx)) — static rolls+masks.
+    peaks = {}
+    for a in range(fy):
+        for b in range(fx):
+            mx = sm[(a, b)]
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    a2, di = (a + dy) % fy, (a + dy) // fy
+                    b2, dj = (b + dx) % fx, (b + dx) // fx
+                    sh = sm[(a2, b2)]
+                    if di:
+                        sh = pltpu.roll(sh, shift=(-di) % h8, axis=1)
+                    if dj:
+                        sh = pltpu.roll(sh, shift=(-dj) % w8, axis=2)
+                    valid = jnp.ones((c_blk, h8, w8), jnp.bool_)
+                    if di == 1:
+                        valid = valid & (row_ids < h8 - 1)
+                    if di == -1:
+                        valid = valid & (row_ids >= 1)
+                    if dj == 1:
+                        valid = valid & (col_ids < w8 - 1)
+                    if dj == -1:
+                        valid = valid & (col_ids >= 1)
+                    mx = jnp.maximum(mx, jnp.where(valid, sh, neg))
+            s = sm[(a, b)]
+            peaks[(a, b)] = jnp.where((s >= mx) & (s > thresh), s, neg)
+
+    # stack phases along lanes: q = (a*fx + b)*w8 + j
+    stacked = jnp.concatenate(
+        [peaks[(a, b)] for a in range(fy) for b in range(fx)], axis=2)
+    q_tot = fy * fx * w8
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (h8, q_tot), 0)
+    q_ids = jax.lax.broadcasted_iota(jnp.int32, (h8, q_tot), 1)
+    a_ids = q_ids // (fx * w8)
+    r_ids = q_ids - a_ids * (fx * w8)
+    b_ids = r_ids // w8
+    j_ids = r_ids - b_ids * w8
+    up_w = fx * w8
+    fi2 = (fy * i_ids + a_ids) * up_w + fx * j_ids + b_ids
+    big = jnp.int32(fy * h8 * up_w)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    planes = [stacked[c] for c in range(c_blk)]
+    scores_acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(c_blk)]
+    idx_acc = [jnp.full((8, 128), -1, jnp.int32) for _ in range(c_blk)]
+    for t in range(k_top):
+        for c in range(c_blk):
+            m = jnp.max(planes[c])
+            idx = jnp.min(jnp.where(planes[c] >= m, fi2, big))
+            found = m > neg
+            sel = (lane == t) & found
+            scores_acc[c] = jnp.where(sel, m, scores_acc[c])
+            idx_acc[c] = jnp.where(sel, idx, idx_acc[c])
+            planes[c] = jnp.where(fi2 == idx, neg, planes[c])
+    for c in range(c_blk):
+        scores_ref[c] = scores_acc[c]
+        idx_ref[c] = idx_acc[c]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def smooth_nms_topk_raw_pallas(heat8: jnp.ndarray, fy: int, fx: int,
+                               k_top: int, thresh: float,
+                               kernlen: int = 25, nsig: float = 3.0,
+                               interpret: bool = False):
+    """(h8, w8, C) RAW fp32 planes -> (scores (C, K), flat idx (C, K))
+    in upsampled (fy*h8, fx*w8) coordinates.
+
+    Bit-equivalent (up to fp32 summation order) to area-upsampling by
+    (fy, fx) and running :func:`smooth_nms_topk_pallas`, but the blur
+    runs phase-decomposed on the raw grid: ~(fy*fx)x less input DMA
+    and ~fy x less multiply work, and the upsampled plane is never
+    materialised in HBM at all.
+    """
+    h8, w8, c = heat8.shape
+    p = kernlen // 2
+    kern = gauss_kernel_1d(kernlen, nsig)
+    wv, dvmin, dvmax = _phase_weights(kern, fy, p)
+    wh, dhmin, dhmax = _phase_weights(kern, fx, p)
+    wv_t = tuple(tuple(float(v) for v in row) for row in wv)
+    wh_t = tuple(tuple(float(v) for v in row) for row in wh)
+    nv, nh = wv.shape[1], wh.shape[1]
+    if k_top > 1024:
+        raise ValueError("k_top must be <= 1024 (8x128 result tile)")
+    c_blk = 6 if c % 6 == 0 else (3 if c % 3 == 0 else 1)
+    x = jnp.transpose(heat8.astype(jnp.float32), (2, 0, 1))
+    # pad (-dmin) before / dmax after so kernel slice t maps to raw
+    # offset dmin + t exactly
+    x = jnp.pad(x, ((0, 0), (-dvmin, dvmax), (-dhmin, dhmax)))
+    scores, idx = pl.pallas_call(
+        functools.partial(_topk_phase_kernel, wv=wv_t, wh=wh_t, h8=h8,
+                          w8=w8, fy=fy, fx=fx, k_top=k_top,
+                          thresh=thresh, c_blk=c_blk),
+        out_shape=(jax.ShapeDtypeStruct((c, 8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 8, 128), jnp.int32)),
+        grid=(c // c_blk,),
+        in_specs=[pl.BlockSpec((c_blk, h8 + nv - 1, w8 + nh - 1),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((c_blk, 8, 128), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((c_blk, 8, 128), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x)
+    flat_s = scores.reshape(c, 8 * 128)[:, :k_top]
+    flat_i = idx.reshape(c, 8 * 128)[:, :k_top]
+    return flat_s, flat_i
+
+
+def can_use_phase_kernel(h8: int, w8: int, up_h: int, up_w: int) -> bool:
+    """The raw-grid kernel is exact iff the upsample is a pure integer
+    replication; phase count is bounded to keep VMEM plane counts sane."""
+    if h8 <= 0 or w8 <= 0 or up_h % h8 or up_w % w8:
+        return False
+    fy, fx = up_h // h8, up_w // w8
+    return 1 <= fy <= 8 and 1 <= fx <= 8
