@@ -59,7 +59,7 @@ def test_committed_checkpoint_passes_e2e_gate():
     through the FULL estimator -> fused decode -> OKS AP path. This is
     the fast, always-on proof that the training stack produced working
     weights (reference L4's purpose); the measured 25-scene run is
-    AP50=0.959 trained vs 0.0 random (BASELINE.md).
+    AP50=1.0 trained (8000 steps) vs 0.0 random (BASELINE.md).
 
     NOTE the 96x96 lesson: a model trained at 96x96 rasterises PAF
     targets on a 12x12 stride-8 grid — too coarse for face/short limbs,
