@@ -119,6 +119,14 @@ def test_phase_kernel_matches_fullres_kernel():
                                               interpret=True)
         s_new, i_new = smooth_nms_topk_raw_pallas(
             jnp.asarray(heat8), f, f, 32, 0.05, interpret=True)
+        # Exact index equality is intentional (documents that the two
+        # kernels select identical peaks) but is tie-sensitive: the two
+        # kernels sum the blur in different fp32 orders, so scores only
+        # agree to ~1e-6 and a near-tied pair could in principle reorder
+        # top-K or flip NMS survivorship on unlucky inputs. The fixed
+        # seed keeps this deterministic; if a future input hits a tie,
+        # switch to a (score, index)-aware matcher like
+        # test_decode_parity's rather than loosening the assert blindly.
         np.testing.assert_array_equal(np.asarray(i_ref),
                                       np.asarray(i_new))
         np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_new),

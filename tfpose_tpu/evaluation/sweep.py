@@ -30,7 +30,8 @@ class BatchedEvaluator:
     def __init__(self, model: str, target_size: Tuple[int, int],
                  batch_size: int = 8, dtype: str = "bfloat16",
                  upsample: float = 4.0, mesh=None,
-                 params: DecodeParams = DecodeParams()):
+                 params: DecodeParams = DecodeParams(),
+                 spatial: bool = False):
         from tfpose_tpu.models import get_network
         from tfpose_tpu.ops.decode import decode_batch
         from tfpose_tpu.pipeline.preprocess import normalize
@@ -38,6 +39,10 @@ class BatchedEvaluator:
         self.w, self.h = target_size
         self.batch = batch_size
         self.mesh = mesh
+        # shard image H over the mesh 'spatial' axis in addition to the
+        # batch over 'data' (GSPMD halo-exchanges the conv stack); the
+        # decode upsample stays replicated per image
+        self.spatial = spatial
         net = get_network(model, dtype=jnp.bfloat16
                           if dtype == "bfloat16" else jnp.float32)
         self.variables = net.init(
@@ -53,6 +58,11 @@ class BatchedEvaluator:
             return decode_batch(outs, up_h, up_w, params)
 
         self._fn = jax.jit(fn)
+        self.decode_params = params
+        # (B, 18) bool after each run_batch: peak-cap saturation per
+        # image (same surfacing contract as TfPoseEstimator)
+        self.last_peak_saturated = None
+        self._warned_saturation = False
         if mesh is not None:
             from tfpose_tpu.parallel.mesh import replicated
             self.variables = jax.device_put(self.variables,
@@ -67,9 +77,18 @@ class BatchedEvaluator:
         x = jnp.asarray(imgs, jnp.uint8)
         if self.mesh is not None:
             from tfpose_tpu.parallel.mesh import batch_sharding
-            x = jax.device_put(x, batch_sharding(self.mesh, None))
+            x = jax.device_put(x, batch_sharding(
+                self.mesh, 1 if self.spatial else None))
         out = self._fn(self.variables, x)
         arrays = jax.tree.map(np.asarray, out)
+        self.last_peak_saturated = arrays.peak_saturated
+        if arrays.peak_saturated.any() and not self._warned_saturation:
+            import logging
+            logging.getLogger("BatchedEvaluator").warning(
+                "peak cap (max_peaks=%d) saturated — crowded batch, "
+                "low-score peaks may have been dropped",
+                self.decode_params.max_peaks)
+            self._warned_saturation = True
         results = []
         for i in range(imgs.shape[0]):
             results.append(PoseArrays(

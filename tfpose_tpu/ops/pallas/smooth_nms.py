@@ -347,7 +347,20 @@ def smooth_nms_topk_raw_pallas(heat8: jnp.ndarray, fy: int, fx: int,
     nv, nh = wv.shape[1], wh.shape[1]
     if k_top > 1024:
         raise ValueError("k_top must be <= 1024 (8x128 result tile)")
-    c_blk = 6 if c % 6 == 0 else (3 if c % 3 == 0 else 1)
+    # Pick the largest channel block whose live VMEM footprint fits the
+    # scoped budget: each channel holds ~3 upsample-sized planes (sm +
+    # peaks + stacked concat) plus the padded input and fy vertical
+    # phase planes. At fy=fx=8 on production plane sizes c_blk=6 would
+    # blow the ~16 MB scoped limit — shrink instead of failing Mosaic
+    # allocation at runtime (advisor r2 finding).
+    per_ch = (3 * fy * fx * h8 * w8 + fy * h8 * (w8 + nh - 1)
+              + (h8 + nv - 1) * (w8 + nh - 1)) * 4
+    budget = 10 * 1024 * 1024
+    c_blk = 1
+    for cand in (6, 3):
+        if c % cand == 0 and cand * per_ch <= budget:
+            c_blk = cand
+            break
     x = jnp.transpose(heat8.astype(jnp.float32), (2, 0, 1))
     # pad (-dmin) before / dmax after so kernel slice t maps to raw
     # offset dmin + t exactly
@@ -375,10 +388,19 @@ def smooth_nms_topk_raw_pallas(heat8: jnp.ndarray, fy: int, fx: int,
     return flat_s, flat_i
 
 
-def can_use_phase_kernel(h8: int, w8: int, up_h: int, up_w: int) -> bool:
+def can_use_phase_kernel(h8: int, w8: int, up_h: int, up_w: int,
+                         kernlen: int = 25) -> bool:
     """The raw-grid kernel is exact iff the upsample is a pure integer
-    replication; phase count is bounded to keep VMEM plane counts sane."""
+    replication; phase count is bounded to keep VMEM plane counts sane,
+    and even a single-channel block must fit the scoped VMEM budget
+    (the c_blk chooser above can shrink to 1 but no further)."""
     if h8 <= 0 or w8 <= 0 or up_h % h8 or up_w % w8:
         return False
     fy, fx = up_h // h8, up_w // w8
-    return 1 <= fy <= 8 and 1 <= fx <= 8
+    if not (1 <= fy <= 8 and 1 <= fx <= 8):
+        return False
+    nv = kernlen // fy + 2
+    nh = kernlen // fx + 2
+    per_ch = (3 * fy * fx * h8 * w8 + fy * h8 * (w8 + nh - 1)
+              + (h8 + nv - 1) * (w8 + nh - 1)) * 4
+    return per_ch <= 10 * 1024 * 1024

@@ -41,9 +41,9 @@ class VideoPipeline:
         out = fn(self.e.variables, jnp.asarray(frame_r, jnp.uint8))
         return out
 
-    @staticmethod
-    def _collect(out) -> List[Human]:
+    def _collect(self, out) -> List[Human]:
         arrays = jax.tree.map(np.asarray, out)
+        self.e._note_saturation(arrays.peak_saturated)
         return PoseArrays(
             coords=arrays.coords, scores=arrays.part_scores,
             part_valid=arrays.part_valid,

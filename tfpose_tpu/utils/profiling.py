@@ -58,6 +58,67 @@ class StageTimer:
         return "\n".join(lines)
 
 
+def device_event_durations_ms(log_dir: str,
+                              prefix: str = "jit_") -> Dict[str, list]:
+    """Parse the newest trace in ``log_dir`` and return device-lane
+    event durations (ms) grouped by event name.
+
+    The Perfetto/chrome trace emitted by ``jax.profiler`` carries true
+    on-device timestamps, so these durations are immune to the dev
+    tunnel's dispatch-time ``block_until_ready`` (CLAUDE.md) — this is
+    the only honest per-program latency available in this environment.
+    ``prefix=None`` returns every device event (per-op profile).
+    """
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = sorted(glob.glob(os.path.join(
+        log_dir, "plugins/profile/*/*.trace.json.gz")),
+        key=os.path.getmtime)
+    if not paths:
+        raise FileNotFoundError(f"no trace under {log_dir}")
+    with gzip.open(paths[-1]) as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    device_pids = {
+        e["pid"] for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in str(e["args"].get("name", ""))}
+    out: Dict[str, list] = {}
+    for e in events:
+        if e.get("ph") == "X" and e["pid"] in device_pids:
+            name = e["name"]
+            if prefix is None or name.startswith(prefix):
+                out.setdefault(name, []).append(e["dur"] / 1e3)
+    return out
+
+
+def device_p50_ms(fn, args, n_runs: int = 30,
+                  log_dir: str = "/tmp/tfpose_tpu_p50") -> float:
+    """True on-device p50 latency (ms) of one execution of jitted
+    ``fn(*args)``, measured from the device lane of a profiler trace
+    (NOT a host wall — see :func:`device_event_durations_ms`)."""
+    import shutil
+
+    import numpy as np
+
+    jax.block_until_ready(fn(*args))  # compile outside the trace
+    shutil.rmtree(log_dir, ignore_errors=True)
+    with trace(log_dir):
+        for _ in range(n_runs):
+            np.asarray(jax.tree.leaves(fn(*args))[0])
+    durs = device_event_durations_ms(log_dir)
+    jit_events = [v for k, v in durs.items() if k.startswith("jit_")]
+    if not jit_events:
+        raise RuntimeError(f"no jit_ device events in {log_dir}")
+    # the traced fn is the dominant program; pick the name with the
+    # most occurrences (warmup/transfer programs appear once or twice)
+    runs = max(jit_events, key=len)
+    return float(np.percentile(runs, 50))
+
+
 def amortized_ms(body, xs, n_rep: int = 3,
                  differential: bool = True) -> float:
     """Per-iteration wall time of ``body`` scanned over the leading
