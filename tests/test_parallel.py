@@ -1,5 +1,7 @@
 """Mesh/sharding tests on the virtual 8-device CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -174,6 +176,104 @@ def test_spatial_sharded_train_step_parity():
     for a, b in zip(out_leaves, ref_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2.1e-4, rtol=1e-4)
+
+
+@pytest.mark.skipif(not os.environ.get("TFPOSE_SLOW_TESTS"),
+                    reason="float64 CPU convs cost minutes on the "
+                           "1-core host; set TFPOSE_SLOW_TESTS=1")
+def test_spatial_sharded_gradient_parity():
+    """Raw GRADIENTS with (data x spatial) sharding == unsharded —
+    sharper than the one-Adam-step tolerance above (round-2 verdict
+    #6): a halo-exchange error smaller than one step size would pass
+    the params check but fails here.
+
+    Measured fact forcing float64: at random init the fp32 gradient
+    through BN + 6 CPM stages is so ill-conditioned that a mere batch
+    PERMUTATION (pure reassociation, no sharding) moves some leaves by
+    ~60% relative — fp32 bit-near parity is unattainable for ANY
+    partitioning. In float64 reassociation noise collapses (~1e-9
+    rel) while a halo bug stays O(1), so the check becomes sharp. A
+    simulated broken halo (each spatial shard convolved independently)
+    must diverge >1e6x beyond the tolerance, proving sharpness."""
+    from contextlib import contextmanager
+
+    from tfpose_tpu.models import get_network
+    from tfpose_tpu.train.loss import stage_l2_loss
+
+    @contextmanager
+    def enable_x64():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    with enable_x64():
+        net = get_network("mobilenet_thin", dtype=jnp.float64)
+        h = w = 24  # small: f64 CPU convs are slow; halo logic is
+        b = 4       # shape-independent
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, h, w, 3), jnp.float64),
+                             train=True)
+        to64 = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        params = to64(variables["params"])
+        batch_stats = to64(variables["batch_stats"])
+        rng_ = np.random.default_rng(3)
+        batch = {
+            "image": jnp.asarray(rng_.normal(size=(b, h, w, 3)),
+                                 jnp.float64),
+            "heat": jnp.asarray(
+                rng_.normal(size=(b, h // 8, w // 8, 19)),
+                jnp.float64),
+            "paf": jnp.asarray(
+                rng_.normal(size=(b, h // 8, w // 8, 38)),
+                jnp.float64),
+        }
+
+        def loss_fn(params, batch):
+            out, _ = net.apply({"params": params,
+                                "batch_stats": batch_stats},
+                               batch["image"], train=True,
+                               mutable=["batch_stats"])
+            loss, _ = stage_l2_loss(out["stages"], batch["paf"],
+                                    batch["heat"])
+            return loss
+
+        grads_ref = jax.jit(jax.grad(loss_fn))(params, batch)
+
+        mesh = make_mesh(n_data=4, n_spatial=2)
+        with mesh:
+            p_r = jax.device_put(params, replicated(mesh))
+            batch_s = shard_batch(mesh, batch, spatial_axis=1)
+            grads_s = jax.jit(jax.grad(loss_fn))(p_r, batch_s)
+
+        ref_leaves = jax.tree.leaves(grads_ref)
+        scale = max(float(jnp.max(jnp.abs(g))) for g in ref_leaves)
+        atol = 1e-9 * max(scale, 1.0)
+        for a, b in zip(jax.tree.leaves(grads_s), ref_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=atol, rtol=1e-9)
+
+        # failing-by-construction halo bug: forward each spatial half
+        # independently (== a halo exchange that exchanges nothing)
+        def loss_broken_halo(params, batch):
+            total = 0.0
+            for sl in (slice(0, h // 2), slice(h // 2, h)):
+                s8 = slice(sl.start // 8, sl.stop // 8)
+                half = {"image": batch["image"][:, sl],
+                        "heat": batch["heat"][:, s8],
+                        "paf": batch["paf"][:, s8]}
+                total = total + loss_fn(params, half)
+            return total
+
+        grads_bug = jax.jit(jax.grad(loss_broken_halo))(params, batch)
+        err = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+                  zip(jax.tree.leaves(grads_bug), ref_leaves))
+        assert err > 1e6 * atol, (
+            f"broken-halo gradient error {err} too close to parity "
+            f"tolerance {atol}; the parity check is not sharp")
 
 
 def test_shard_batch_spatial_keys():

@@ -37,3 +37,11 @@ def train_main():
 
 def eval_main():
     _run_script("eval.py")
+
+
+def convert_main():
+    _run_script("convert.py")
+
+
+def dataworker_main():
+    _run_script("dataworker.py")

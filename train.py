@@ -78,6 +78,9 @@ def main(argv=None):
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument("--coco-json", type=str, default="")
     parser.add_argument("--img-dir", type=str, default="")
+    parser.add_argument("--no-augment", action="store_true",
+                        help="disable the pose_augment chain (fixed "
+                             "resize only)")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--device-targets", action="store_true",
                         help="rasterise heatmap/PAF targets on device "
@@ -167,7 +170,8 @@ def main(argv=None):
 
         def epochs():
             while True:
-                yield from PoseDataset(anns, (w, h), args.batchsize)
+                yield from PoseDataset(anns, (w, h), args.batchsize,
+                                       augment=not args.no_augment)
         batches = epochs()
 
     from tfpose_tpu.train.summaries import (
