@@ -20,11 +20,11 @@ Recipes (cycled per scene index):
 Every scene is decoded by the JAX production path and the NumPy
 oracle; scenes on default params are optionally cross-checked against
 the native C++ twin (which hard-codes reference thresholds). The
-sweep records per-recipe divergence counts; the only tolerated class
-is the documented ear/shoulder-cycle divergence (ops/assemble.py:28,
-PARITY.md) plus near-threshold fp32-order flips on the artificial
-tie/edge recipes — both bounded below by the rate asserted in
-tests/test_parity_bulk.py.
+sweep records per-recipe divergence counts. This net is what exposed
+the round-2 assembly's overlapping-row fuse and slot-displacement
+divergences (fixed by the sequential slot-owner model, see
+ops/assemble.py); the remaining budget in tests/test_parity_bulk.py
+is a small long-tail allowance, not a tolerated class.
 
 Run standalone:  python -m tfpose_tpu.evaluation.parity_sweep 1000
 """

@@ -1,13 +1,15 @@
 """Limb-to-human assembly as fixed-shape, jittable label propagation.
 
 The reference merges greedy connections into "subset" rows with a
-sequential, dynamically-sized loop (``pafprocess.cpp`` step 4). The
-result of that loop — for the non-degenerate inputs the greedy step
-produces — is the partition of peaks into connected components of the
-connection graph, with per-human score = sum of connection scores plus
-the scores of the member peaks.
-
-On TPU we compute exactly that with static shapes:
+sequential, dynamically-sized loop (``pafprocess.cpp`` step 4;
+oracle twins: ``oracle/numpy_decoder.assemble``,
+``oracle/cpp/pafdecode.cpp:128-180``). For the spanning-tree limb
+pairs 0..16 that loop reduces to connected components: pair order
+guarantees each part appears as a pair's second endpoint exactly once
+before being used as a first endpoint, so every accepted tree
+connection either creates a row or extends one — never hits the
+overlap branch, and never writes a row slot twice. On TPU we compute
+the components with static shapes:
   1. nodes = (18 parts x K slots); edges = accepted connections;
   2. min-label propagation (scatter-min, fixed iteration count >= graph
      diameter) finds connected components;
@@ -16,21 +18,39 @@ On TPU we compute exactly that with static shapes:
      THRESH_PART_CNT, mean score < THRESH_HUMAN_SCORE) are dropped, and
      the rest are compacted into (max_humans, 18, ...) padded outputs.
 
-Because limb pairs 0..16 form a spanning tree of the 18 parts, every
-accepted tree-pair connection is "applied" by the reference's merge loop
-(create / extend / disjoint-merge) exactly once, so component score =
-sum of applied connection scores + member peak scores and part count =
-member count. Only the two redundant ear<->shoulder pairs (17, 18) can
-hit the reference's skip branches; we replicate its applied-edge rule:
-a pair-17/18 connection counts iff its shoulder endpoint already
-belongs to a component and the two endpoints are not yet connected.
+The two redundant ear<->shoulder pairs (17, 18) are where the
+reference loop's SEQUENTIAL, SLOT-BASED nature matters. Its row scan
+matches ``row[p1]==cid1 or row[p2]==cid2`` — an ear is only "found"
+while it still occupies some row's ear slot, and every attach
+overwrites a slot, displacing the previous occupant for all later
+connections of the same pair. The branch semantics per connection:
 
-Known divergence from the reference (documented, tested): when a cycle
-in the ear/shoulder pairs puts two peaks of the same part into one
-component, the reference keeps the first-merged cid while we keep the
-higher-scoring peak. This cannot move any keypoint by more than the
-distance between two true detections of the same part and does not
-occur on well-formed inputs.
+  * both endpoints in rows, rows occupancy-DISJOINT -> fuse the rows
+    (add conn.score);
+  * both endpoints in rows, rows OVERLAP (any part index occupied in
+    both) -> NO fuse: the earlier-created row r1 gets
+    ``r1[p2] = cid2`` (displacing r1's current ear), count += 1,
+    score += peak2 + conn — the ear is shared across both rows and
+    two overlapping people stay separate humans;
+  * ear in no row's slot -> it fills the shoulder row's ear slot
+    (displacing any current occupant, whose score stays counted),
+    count += 1, score += peak2 + conn.
+
+The last two cases are the SAME operation — a score/count bonus plus
+an ear-slot assignment on a target row — differing only in the
+target (earlier-created row vs the shoulder's row), and neither
+changes connectivity. We therefore process each redundant pair's K
+connections with a ``fori_loop`` that maintains per-component state
+(labels for fuses, part-occupancy for the overlap test, ear-slot
+owner for the displacement-aware "found" test, creation time = min
+tree-edge processing order = the reference's row order) and
+accumulates bonuses; the final ear outputs come from the slot owners,
+exactly like the reference's rows.
+
+Known residual divergence (documented, bounded by
+tests/test_parity_bulk.py): under ``max_peaks`` saturation the peak
+SETS themselves differ (the reference's C++ scan is unbounded), so
+crowds beyond K peaks per part decode from different inputs.
 """
 
 from __future__ import annotations
@@ -48,11 +68,8 @@ from tfpose_tpu.ops.paf import Connections
 
 # The pair tree's diameter is <= 7 hops (ankle..ear through the neck);
 # with per-round path compression (labels = labels[labels]) min-labels
-# converge in ceil(log2(diameter)) + slack rounds. Incremental phases
-# (the two ear<->shoulder pairs) start from converged labels and only
-# merge whole components, so a few seeded rounds suffice.
+# converge in ceil(log2(diameter)) + slack rounds.
 _LABEL_ITERS = 10
-_INCR_ITERS = 5
 
 
 class Assembled(NamedTuple):
@@ -84,6 +101,7 @@ def assemble_dense(peaks: Peaks, conns: Connections,
     pairs = pairs_array()
     max_h = params.max_humans
     iota_n = jnp.arange(n, dtype=jnp.int32)
+    iota_k = jnp.arange(k, dtype=jnp.int32)
 
     node_part = jnp.asarray(
         np.repeat(np.arange(num_parts, dtype=np.int32), k))
@@ -99,6 +117,11 @@ def assemble_dense(peaks: Peaks, conns: Connections,
     e_valid = conns.valid.reshape(-1)
     e_pair = jnp.asarray(
         np.repeat(np.arange(pairs.shape[0], dtype=np.int32), k))
+    n_e = e_pair.shape[0]
+    # flattening is pair-major with greedy-rank slots inside, so the
+    # edge index IS the reference's connection processing order
+    order_e = jnp.arange(n_e, dtype=jnp.int32)
+    big_order = jnp.int32(n_e + 1)
 
     # one-hot edge incidence (E, N) — static-shape, built once.
     # ALL node indexing below goes through these as fp32 matmuls
@@ -116,10 +139,6 @@ def assemble_dense(peaks: Peaks, conns: Connections,
         out = jnp.matmul(oh_a_f, vals.astype(jnp.float32), precision=hp)
         return out.astype(vals.dtype)
 
-    def at_b(vals):
-        out = jnp.matmul(oh_b_f, vals.astype(jnp.float32), precision=hp)
-        return out.astype(vals.dtype)
-
     def at_labels(labels, vals):
         """vals[labels] for (N,) int labels via a one-hot contraction."""
         oh_l = (labels[:, None] == iota_n[None, :]).astype(jnp.float32)
@@ -133,7 +152,10 @@ def assemble_dense(peaks: Peaks, conns: Connections,
 
         def relax(labels):
             la = jnp.where(active, at_a(labels), big)
-            lb = jnp.where(active, at_b(labels), big)
+            lb = jnp.where(
+                active,
+                jnp.matmul(oh_b_f, labels.astype(jnp.float32),
+                           precision=hp).astype(labels.dtype), big)
             m = jnp.minimum(la, lb)  # (E,)
             cand_a = jnp.min(jnp.where(oh_a, m[:, None], big), axis=0)
             cand_b = jnp.min(jnp.where(oh_b, m[:, None], big), axis=0)
@@ -149,29 +171,128 @@ def assemble_dense(peaks: Peaks, conns: Connections,
         return hit.any(axis=0)
 
     tree = e_valid & (e_pair < 17)
-    root0 = propagate(tree, iota_n, _LABEL_ITERS)
-    used0 = members(tree)
-    is17 = e_valid & (e_pair == 17)
-    applied17 = is17 & at_a(used0) & (at_a(root0) != at_b(root0))
-    root1 = propagate(tree | applied17, root0, _INCR_ITERS)
-    used1 = members(tree | applied17)
-    is18 = e_valid & (e_pair == 18)
-    applied18 = is18 & at_a(used1) & (at_a(root1) != at_b(root1))
+    labels0 = propagate(tree, iota_n, _LABEL_ITERS)
+    used = members(tree)
 
-    e_applied = tree | applied17 | applied18
-    root = propagate(e_applied, root1, _INCR_ITERS)
-    used = members(e_applied)
+    # ---- per-root phase state (values live at root node positions)
+    oh_l0 = (labels0[:, None] == iota_n[None, :])
+    oh_part_n = (node_part[:, None]
+                 == jnp.arange(num_parts, dtype=jnp.int32)[None, :])
+    pres = jnp.matmul(
+        oh_l0.T.astype(jnp.float32),
+        (used[:, None] & oh_part_n).astype(jnp.float32),
+        precision=hp) > 0.5                                  # (N, P)
+    er = at_a(labels0)
+    creation = jnp.min(
+        jnp.where(tree[:, None] & (er[:, None] == iota_n[None, :]),
+                  order_e[:, None], big_order), axis=0)      # (N,)
+
+    def init_owner(p2):
+        vals = jnp.where(used & (node_part == p2), iota_n, -1)
+        return jnp.max(jnp.where(oh_l0, vals[:, None], -1), axis=0)
+
+    owner16 = init_owner(int(pairs[17, 1]))
+    owner17 = init_owner(int(pairs[18, 1]))
+
+    def extract(oh, arr):
+        """arr[i] for the unique True position of one-hot ``oh``."""
+        return jnp.sum(jnp.where(oh, arr, jnp.zeros((), arr.dtype)))
+
+    def run_pair(pair_id, state):
+        """Sequential reference semantics for one redundant pair: the
+        fori_loop walks the pair's K greedy connections in processing
+        order, maintaining slot ownership (displacement-aware "found"
+        test), row occupancy (overlap test), labels (fuses) and
+        creation times (earlier-row choice)."""
+        base = pair_id * k
+        p2 = int(pairs[pair_id, 1])
+        col_p2 = (jnp.arange(num_parts, dtype=jnp.int32) == p2)
+        a_p = jax.lax.slice_in_dim(a_node, base, base + k)
+        b_p = jax.lax.slice_in_dim(b_node, base, base + k)
+        es_p = jax.lax.slice_in_dim(e_score, base, base + k)
+        ev_p = jax.lax.slice_in_dim(e_valid, base, base + k)
+
+        def body(t, st):
+            labels, pres, o_this, o_other, creation, bon_s, bon_c = st
+            sel = iota_k == t
+            ve = jnp.any(sel & ev_p)
+            a = extract(sel, a_p)
+            b = extract(sel, b_p)
+            es = extract(sel, es_p)
+            oh_an = iota_n == a
+            oh_bn = iota_n == b
+            ra = extract(oh_an, labels)
+            in_a = jnp.any(oh_an & used) & ve
+            ps_b = extract(oh_bn, node_score)
+            match_b = o_this == b
+            has_b = jnp.any(match_b) & ve
+            rb = extract(match_b, iota_n)
+            oh_ra = iota_n == ra
+            oh_rb = (iota_n == rb) & has_b
+            pres_a = jnp.any(pres & oh_ra[:, None], axis=0)
+            pres_b = jnp.any(pres & oh_rb[:, None], axis=0)
+            overlap = jnp.any(pres_a & pres_b)
+            differ = in_a & has_b & (ra != rb)
+            fuse = differ & ~overlap
+            attach = differ & overlap
+            extend = in_a & ~has_b
+            c_a = extract(oh_ra, creation)
+            c_b = extract(oh_rb, creation)
+            r1 = jnp.where(c_a <= c_b, ra, rb)
+            do_b = attach | extend
+            tgt = jnp.where(attach, r1, ra)
+            oh_t = (iota_n == tgt) & do_b
+            bon_s = bon_s + jnp.where(oh_t, ps_b + es, 0.0)
+            bon_c = bon_c + jnp.where(oh_t, 1.0, 0.0)
+            o_this = jnp.where(oh_t, b, o_this)
+            pres = pres | (oh_t[:, None] & col_p2[None, :])
+            # fuse: full-component relabel to the min root; merge the
+            # per-root state into it and clear the dead root
+            rmin = jnp.minimum(ra, rb)
+            rmax = jnp.maximum(ra, rb)
+            oh_min = (iota_n == rmin) & fuse
+            oh_max = (iota_n == rmax) & fuse
+            both = pres_a | pres_b
+            pres = jnp.where(oh_min[:, None], both[None, :], pres)
+            pres = jnp.where(oh_max[:, None], False, pres)
+            oh_minu = iota_n == rmin
+            oh_maxu = iota_n == rmax
+
+            def merge(arr, red, dead):
+                v = red(extract(oh_minu, arr), extract(oh_maxu, arr))
+                arr = jnp.where(oh_min, v, arr)
+                return jnp.where(oh_max, dead, arr)
+
+            o_this = merge(o_this, jnp.maximum, -1)
+            o_other = merge(o_other, jnp.maximum, -1)
+            creation = merge(creation, jnp.minimum, big_order)
+            bon_s = bon_s + jnp.where(oh_min, es, 0.0)
+            labels = jnp.where(fuse & (labels == rmax), rmin, labels)
+            return labels, pres, o_this, o_other, creation, bon_s, bon_c
+
+        return jax.lax.fori_loop(0, k, body, state)
+
+    bon_s = jnp.zeros(n, jnp.float32)
+    bon_c = jnp.zeros(n, jnp.float32)
+    st = (labels0, pres, owner16, owner17, creation, bon_s, bon_c)
+    labels, pres, owner16, owner17, creation, bon_s, bon_c = run_pair(
+        17, st)
+    st = (labels, pres, owner17, owner16, creation, bon_s, bon_c)
+    labels, pres, owner17, owner16, creation, bon_s, bon_c = run_pair(
+        18, st)
+    root = labels
 
     # per-root aggregates as matmuls over one-hot root membership
     oh_root = (root[:, None] == iota_n[None, :])          # (N, N)
     oh_root_f = oh_root.astype(jnp.float32)
     edge_root = at_a(root)                                 # (E,)
     oh_eroot = (edge_root[:, None] == iota_n[None, :])
-    score_sum = jnp.matmul(jnp.where(e_applied, e_score, 0.0),
+    score_sum = jnp.matmul(jnp.where(tree, e_score, 0.0),
                            oh_eroot.astype(jnp.float32), precision=hp)
     score_sum = score_sum + jnp.matmul(
-        jnp.where(used, node_score, 0.0), oh_root_f, precision=hp)
-    count = jnp.matmul(jnp.where(used, 1.0, 0.0), oh_root_f,
+        jnp.where(used, node_score, 0.0) + bon_s, oh_root_f,
+        precision=hp)
+    count = jnp.matmul(used.astype(jnp.float32) + bon_c, oh_root_f,
                        precision=hp)
 
     is_root = used & (root == iota_n)
@@ -187,8 +308,8 @@ def assemble_dense(peaks: Peaks, conns: Connections,
     # part p are the contiguous slots [p*K, (p+1)*K)
     score_blk = node_score.reshape(num_parts, k)
     used_blk = used.reshape(num_parts, k)
-    # (num_parts, K, max_h+1) one-hot of each node's human index
-    hix = at_labels(root, human_of_root).reshape(num_parts, k)
+    node_h = at_labels(root, human_of_root)                # (N,)
+    hix = node_h.reshape(num_parts, k)
     oh_h = (hix[:, :, None]
             == jnp.arange(max_h + 1, dtype=jnp.int32)[None, None, :])
     contrib = jnp.where(used_blk[:, :, None] & oh_h,
@@ -206,6 +327,29 @@ def assemble_dense(peaks: Peaks, conns: Connections,
     coords_y = jnp.einsum("pkh,pk->hp", wf, y_blk, precision=hp)
     p_scores = jnp.einsum("pkh,pk->hp", wf, score_blk, precision=hp)
     p_valid = winner.any(axis=1).T                         # (max_h+1, P)
+
+    # ear displays come from the slot owners, exactly like the
+    # reference's rows (an attached ear displaces the member winner)
+    h_iota = jnp.arange(max_h + 1, dtype=jnp.int32)
+    node_xys = jnp.stack([node_x, node_y, node_score], axis=-1)  # (N,3)
+    for owner, pid in ((owner16, 17), (owner17, 18)):
+        p2 = int(pairs[pid, 1])
+        valid_o = owner >= 0
+        h_arr = jnp.where(valid_o, node_h, max_h)
+        oh_hh = (h_arr[:, None] == h_iota[None, :]) & valid_o[:, None]
+        oh_o = (jnp.maximum(owner, 0)[:, None] == iota_n[None, :])
+        vals = jnp.matmul(oh_o.astype(jnp.float32), node_xys,
+                          precision=hp)                    # (N, 3)
+        ov = jnp.matmul(oh_hh.astype(jnp.float32).T, vals,
+                        precision=hp)                      # (H+1, 3)
+        has = oh_hh.any(axis=0)
+        coords_x = coords_x.at[:, p2].set(
+            jnp.where(has, ov[:, 0], coords_x[:, p2]))
+        coords_y = coords_y.at[:, p2].set(
+            jnp.where(has, ov[:, 1], coords_y[:, p2]))
+        p_scores = p_scores.at[:, p2].set(
+            jnp.where(has, ov[:, 2], p_scores[:, p2]))
+        p_valid = p_valid.at[:, p2].set(has)
 
     coords = jnp.stack([
         jnp.where(p_valid, coords_x, -1.0),
@@ -232,6 +376,7 @@ def assemble(peaks: Peaks, conns: Connections,
     n = num_parts * k
     pairs = pairs_array()  # numpy (19, 2), trace-time constant
     max_h = params.max_humans
+    iota_n = jnp.arange(n, dtype=jnp.int32)
 
     # ---- node tables (N,)
     node_part = jnp.asarray(
@@ -253,12 +398,14 @@ def assemble(peaks: Peaks, conns: Connections,
     # pair id of each edge row (trace-time constant)
     e_pair = jnp.asarray(
         np.repeat(np.arange(pairs.shape[0], dtype=np.int32), k))
+    n_e = e_pair.shape[0]
+    order_e = jnp.arange(n_e, dtype=jnp.int32)
+    big_order = jnp.int32(n_e + 1)
 
     def propagate(active, init=None, iters=_LABEL_ITERS):
         an = jnp.where(active, a_node, 0)
         bn = jnp.where(active, b_node, 0)
-        labels = (jnp.arange(n, dtype=jnp.int32) if init is None
-                  else init)
+        labels = (iota_n if init is None else init)
         for _ in range(iters):
             m = jnp.minimum(labels[an], labels[bn])
             labels = labels.at[an].min(m)
@@ -273,33 +420,99 @@ def assemble(peaks: Peaks, conns: Connections,
         used_ = used_.at[jnp.where(active, b_node, n - 1)].max(active)
         return used_
 
-    # ---- replicate the reference's applied-edge rule for the redundant
-    # ear<->shoulder pairs (17, 18); tree pairs 0..16 always apply.
     tree = e_valid & (e_pair < 17)
-    root0 = propagate(tree)
-    used0 = members(tree)
-    is17 = e_valid & (e_pair == 17)
-    applied17 = is17 & used0[a_node] & (root0[a_node] != root0[b_node])
-    root1 = propagate(tree | applied17, init=root0, iters=_INCR_ITERS)
-    used1 = members(tree | applied17)
-    is18 = e_valid & (e_pair == 18)
-    applied18 = is18 & used1[a_node] & (root1[a_node] != root1[b_node])
+    labels0 = propagate(tree)
+    used = members(tree)
 
-    e_applied = tree | applied17 | applied18
-    root = propagate(e_applied, init=root1, iters=_INCR_ITERS)
-    used = members(e_applied)
-    e_valid = e_applied
+    # ---- per-root phase state (values live at root node positions);
+    # see the module docstring / assemble_dense for the semantics
+    pres = jnp.zeros((n, num_parts), bool)
+    pres = pres.at[labels0, node_part].max(used)
+    creation = jnp.full(n, big_order, jnp.int32)
+    creation = creation.at[jnp.where(tree, labels0[a_node], n - 1)].min(
+        jnp.where(tree, order_e, big_order))
+
+    def init_owner(p2):
+        vals = jnp.where(used & (node_part == p2), iota_n, -1)
+        return jnp.full(n, -1, jnp.int32).at[labels0].max(vals)
+
+    owner16 = init_owner(int(pairs[17, 1]))
+    owner17 = init_owner(int(pairs[18, 1]))
+
+    def run_pair(pair_id, state):
+        base = pair_id * k
+        p2 = int(pairs[pair_id, 1])
+
+        def body(t, st):
+            labels, pres, o_this, o_other, creation, bon_s, bon_c = st
+            e = base + t
+            ve = e_valid[e]
+            a = a_node[e]
+            b = b_node[e]
+            es = e_score[e]
+            ps_b = node_score[b]
+            ra = labels[a]
+            in_a = used[a] & ve
+            match_b = o_this == b
+            has_b = match_b.any() & ve
+            rb = jnp.max(jnp.where(match_b, iota_n, -1))
+            rb_s = jnp.maximum(rb, 0)
+            overlap = (pres[ra] & pres[rb_s]).any() & has_b
+            differ = in_a & has_b & (ra != rb)
+            fuse = differ & ~overlap
+            attach = differ & overlap
+            extend = in_a & ~has_b
+            r1 = jnp.where(creation[ra] <= creation[rb_s], ra, rb_s)
+            do_b = attach | extend
+            tgt = jnp.where(attach, r1, ra)
+            bon_s = bon_s.at[tgt].add(jnp.where(do_b, ps_b + es, 0.0))
+            bon_c = bon_c.at[tgt].add(do_b.astype(jnp.int32))
+            o_this = jnp.where(do_b & (iota_n == tgt), b, o_this)
+            pres = pres.at[tgt, p2].max(do_b)
+            # fuse: relabel to the min root, merge per-root state
+            rmin = jnp.minimum(ra, rb_s)
+            rmax = jnp.maximum(ra, rb_s)
+            oh_min = (iota_n == rmin) & fuse
+            oh_max = (iota_n == rmax) & fuse
+            both = pres[rmin] | pres[rmax]
+            pres = jnp.where(oh_min[:, None], both[None, :], pres)
+            pres = jnp.where(oh_max[:, None], False, pres)
+
+            def merge(arr, red, dead):
+                v = red(arr[rmin], arr[rmax])
+                arr = jnp.where(oh_min, v, arr)
+                return jnp.where(oh_max, dead, arr)
+
+            o_this = merge(o_this, jnp.maximum, -1)
+            o_other = merge(o_other, jnp.maximum, -1)
+            creation = merge(creation, jnp.minimum, big_order)
+            bon_s = bon_s + jnp.where(oh_min, es, 0.0)
+            labels = jnp.where(fuse & (labels == rmax), rmin, labels)
+            return labels, pres, o_this, o_other, creation, bon_s, bon_c
+
+        return jax.lax.fori_loop(0, k, body, state)
+
+    bon_s = jnp.zeros(n, jnp.float32)
+    bon_c = jnp.zeros(n, jnp.int32)
+    st = (labels0, pres, owner16, owner17, creation, bon_s, bon_c)
+    labels, pres, owner16, owner17, creation, bon_s, bon_c = run_pair(
+        17, st)
+    st = (labels, pres, owner17, owner16, creation, bon_s, bon_c)
+    labels, pres, owner17, owner16, creation, bon_s, bon_c = run_pair(
+        18, st)
+    root = labels
 
     # ---- per-root aggregates
     edge_root = root[a_node]
     score_sum = jnp.zeros(n, jnp.float32)
     score_sum = score_sum.at[edge_root].add(
-        jnp.where(e_valid, e_score, 0.0))
-    score_sum = score_sum.at[root].add(jnp.where(used, node_score, 0.0))
+        jnp.where(tree, e_score, 0.0))
+    score_sum = score_sum.at[root].add(
+        jnp.where(used, node_score, 0.0) + bon_s)
     count = jnp.zeros(n, jnp.int32)
-    count = count.at[root].add(used.astype(jnp.int32))
+    count = count.at[root].add(used.astype(jnp.int32) + bon_c)
 
-    is_root = used & (root == jnp.arange(n, dtype=jnp.int32))
+    is_root = used & (root == iota_n)
     mean = score_sum / jnp.maximum(count, 1).astype(jnp.float32)
     keep = (is_root
             & (count >= params.thresh_part_cnt)
@@ -316,9 +529,8 @@ def assemble(peaks: Peaks, conns: Connections,
     is_best = used & (node_score >= best[root, node_part])
     min_id = jnp.full((n, num_parts), n, jnp.int32)
     min_id = min_id.at[root, node_part].min(
-        jnp.where(is_best, jnp.arange(n, dtype=jnp.int32), n))
-    winner = is_best & (jnp.arange(n, dtype=jnp.int32)
-                        == min_id[root, node_part])
+        jnp.where(is_best, iota_n, n))
+    winner = is_best & (iota_n == min_id[root, node_part])
 
     # ---- scatter winners into padded output
     out_h = jnp.where(winner, human_of_root[root], max_h)
@@ -330,6 +542,23 @@ def assemble(peaks: Peaks, conns: Connections,
         node_score, mode="drop")
     part_valid = jnp.zeros((max_h, num_parts), bool)
     part_valid = part_valid.at[out_h, node_part].set(winner, mode="drop")
+
+    # ---- ear displays from slot owners (reference row slots)
+    node_h = human_of_root[root]                           # (N,)
+    for owner, pid in ((owner16, 17), (owner17, 18)):
+        p2 = int(pairs[pid, 1])
+        valid_o = owner >= 0
+        h_idx = jnp.where(valid_o, node_h, max_h)
+        o_safe = jnp.maximum(owner, 0)
+        # clear the member-winner write first: the slot owner is the
+        # ONLY display the reference has for ear parts
+        keep_h = jnp.where(keep, human_of_root, max_h)
+        part_valid = part_valid.at[keep_h, p2].set(False, mode="drop")
+        coords = coords.at[h_idx, p2, 0].set(node_x[o_safe], mode="drop")
+        coords = coords.at[h_idx, p2, 1].set(node_y[o_safe], mode="drop")
+        part_scores = part_scores.at[h_idx, p2].set(
+            node_score[o_safe], mode="drop")
+        part_valid = part_valid.at[h_idx, p2].set(True, mode="drop")
 
     human_scores = jnp.zeros(max_h, jnp.float32)
     human_scores = human_scores.at[human_of_root].set(
