@@ -18,7 +18,15 @@ import os
 
 import pytest
 
-from tfpose_tpu.evaluation.parity_sweep import RECIPES, run_sweep
+from tfpose_tpu.evaluation.parity_sweep import (
+    RECIPES,
+    run_ckpt_sweep,
+    run_sweep,
+)
+
+_SYNTH_CKPT = os.path.join(
+    os.path.dirname(__file__), "..", "models", "trained",
+    "thin160_synth", "params.msgpack")
 
 
 def test_parity_sweep_fast():
@@ -30,6 +38,29 @@ def test_parity_sweep_fast():
     assert stats.mismatch_total == 0, (
         f"decode parity broke: {stats.mismatch_total}/16; "
         f"examples: {stats.examples}")
+
+
+@pytest.mark.skipif(not os.path.exists(_SYNTH_CKPT),
+                    reason="committed checkpoint missing")
+def test_parity_sweep_real_activations_fast():
+    """SURVEY §7's "COCO-real inputs" leg: decode parity on REAL
+    trained-network activations (rendered scenes forwarded through the
+    committed checkpoint), not just synthetic-renderer tensors."""
+    stats = run_ckpt_sweep(4, _SYNTH_CKPT, seed0=50, cpp_every=2)
+    assert stats.total == 4
+    assert stats.mismatch_total == 0, stats.examples
+    assert stats.cpp_mismatch == 0, stats.examples
+
+
+@pytest.mark.skipif(not os.environ.get("TFPOSE_SLOW_TESTS"),
+                    reason="bulk sweep: set TFPOSE_SLOW_TESTS=1")
+def test_parity_sweep_real_activations_bulk():
+    stats = run_ckpt_sweep(200, _SYNTH_CKPT, seed0=0, cpp_every=10)
+    assert stats.mismatch_total / stats.total <= 0.005, (
+        f"{stats.mismatch_total}/{stats.total}: {stats.examples}")
+    if stats.cpp_total:
+        assert stats.cpp_mismatch / stats.cpp_total <= 0.005, (
+            stats.examples)
 
 
 @pytest.mark.skipif(not os.environ.get("TFPOSE_SLOW_TESTS"),

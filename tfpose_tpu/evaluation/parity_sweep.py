@@ -124,10 +124,10 @@ def _cap_peaks(peaks: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
-def _oracle_humans(net, params):
+def _oracle_humans(net, params, up_h=UP_H, up_w=UP_W):
     from tfpose_tpu.oracle import numpy_decoder, numpy_post
 
-    peaks, heat, paf = numpy_post.full_post(net, UP_H, UP_W)
+    peaks, heat, paf = numpy_post.full_post(net, up_h, up_w)
     peaks = _cap_peaks(peaks, params.max_peaks)
     res = numpy_decoder.process_paf(peaks, heat, paf, params)
     humans = []
@@ -141,10 +141,10 @@ def _oracle_humans(net, params):
     return humans
 
 
-def _jax_humans(net, params):
+def _jax_humans(net, params, up_h=UP_H, up_w=UP_W):
     from tfpose_tpu.ops.decode import decode_jit
 
-    out = decode_jit(net, UP_H, UP_W, params)
+    out = decode_jit(net, up_h, up_w, params)
     coords = np.asarray(out.coords)
     scores = np.asarray(out.part_scores)
     pvalid = np.asarray(out.part_valid)
@@ -157,18 +157,18 @@ def _jax_humans(net, params):
         parts = {}
         for p in range(18):
             if pvalid[hi, p]:
-                parts[p] = (int(round(coords[hi, p, 0] * UP_W)),
-                            int(round(coords[hi, p, 1] * UP_H)),
+                parts[p] = (int(round(coords[hi, p, 0] * up_w)),
+                            int(round(coords[hi, p, 1] * up_h)),
                             float(scores[hi, p]))
         humans.append((parts, float(hscores[hi])))
     return humans
 
 
-def _cpp_humans(net):
+def _cpp_humans(net, up_h=UP_H, up_w=UP_W):
     from tfpose_tpu.oracle import numpy_post
     from tfpose_tpu.oracle import cpp
 
-    peaks, heat, paf = numpy_post.full_post(net, UP_H, UP_W)
+    peaks, heat, paf = numpy_post.full_post(net, up_h, up_w)
     parts, scores = cpp.process_paf(peaks.astype(np.float32),
                                     heat.astype(np.float32),
                                     paf.astype(np.float32))
@@ -279,15 +279,95 @@ def run_sweep(n_scenes: int, seed0: int = 0, cpp_every: int = 0,
     return stats
 
 
+def run_ckpt_sweep(n_scenes: int, params_path: str,
+                   input_wh: Tuple[int, int] = (160, 160),
+                   seed0: int = 0, cpp_every: int = 0,
+                   progress=None) -> SweepStats:
+    """Parity on REAL network activations (SURVEY §7's "COCO-real
+    inputs" leg): rendered multi-person scene images are forwarded
+    through mobilenet_thin with TRAINED weights (the committed
+    checkpoint, produced by the real COCO data path), and the
+    resulting stride-8 tensors are decoded by the production JAX path
+    vs the NumPy oracle (vs the C++ twin on a subsample). Trained
+    activations have structured, correlated peaks/PAFs — a different
+    distribution from the synthetic-renderer recipes."""
+    import jax.numpy as jnp
+
+    from tfpose_tpu.convert.checkpoint import load_params
+    from tfpose_tpu.models import get_network
+    from tfpose_tpu.pipeline.preprocess import normalize
+    from tfpose_tpu.utils.synthetic import random_people, render_image
+
+    w, h = input_wh
+    h8, w8 = h // 8, w // 8
+    up_h, up_w = h8 * 4, w8 * 4
+    import jax
+
+    net = get_network("mobilenet_thin")
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, h, w, 3), jnp.float32),
+                         train=False)
+    variables = load_params(params_path, variables)
+    fwd = jax.jit(lambda img: net.apply(
+        variables, normalize(img[None]), train=False)["concat_stage7"][0])
+
+    stats = SweepStats()
+    for idx in range(n_scenes):
+        rng = np.random.default_rng(seed0 + idx)
+        people = random_people(rng, int(rng.integers(1, 5)), w, h)
+        img = render_image(people, h, w, rng=rng, joint_radius=6)
+        out = np.asarray(fwd(jnp.asarray(img)), np.float32)
+        ref = _oracle_humans(out, DEFAULT, up_h, up_w)
+        jx = _jax_humans(out, DEFAULT, up_h, up_w)
+        reason = compare(ref, jx)
+        stats.total += 1
+        n, bad = stats.per_recipe.get("ckpt_real", [0, 0])
+        bad_inc = 0
+        if reason is not None:
+            stats.mismatches["ckpt_real"] = (
+                stats.mismatches.get("ckpt_real", 0) + 1)
+            bad_inc = 1
+            if len(stats.examples) < 20:
+                stats.examples.append(
+                    f"scene {seed0 + idx} [ckpt_real]: {reason}")
+        stats.per_recipe["ckpt_real"] = [n + 1, bad + bad_inc]
+        if cpp_every and idx % cpp_every == 0:
+            cpph = _cpp_humans(out, up_h, up_w)
+            stats.cpp_total += 1
+            r = compare(
+                [({k: (v[0], v[1], 0.0) for k, v in p.items()}, s)
+                 for p, s in ref],
+                [({k: (v[0], v[1], 0.0) for k, v in p.items()}, s)
+                 for p, s in cpph],
+                tol_score=1e-4)
+            if r is not None:
+                stats.cpp_mismatch += 1
+                if len(stats.examples) < 20:
+                    stats.examples.append(
+                        f"scene {seed0 + idx} [cpp/ckpt_real]: {r}")
+        if progress and (idx + 1) % 20 == 0:
+            progress(idx + 1, stats)
+    return stats
+
+
 def main(argv=None):
     import sys
 
-    n = int((argv or sys.argv[1:] or ["200"])[0])
-    stats = run_sweep(
-        n, cpp_every=10,
-        progress=lambda i, s: print(
-            f"[{i}/{n}] mismatches={s.mismatch_total} "
-            f"cpp={s.cpp_mismatch}/{s.cpp_total}", file=sys.stderr))
+    args = list(argv if argv is not None else sys.argv[1:]) or ["200"]
+    if args[0] == "--ckpt":
+        params_path, n = args[1], int(args[2] if len(args) > 2 else 200)
+        stats = run_ckpt_sweep(
+            n, params_path, cpp_every=10,
+            progress=lambda i, s: print(
+                f"[{i}/{n}] mismatches={s.mismatch_total} "
+                f"cpp={s.cpp_mismatch}/{s.cpp_total}", file=sys.stderr))
+    else:
+        n = int(args[0])
+        stats = run_sweep(
+            n, cpp_every=10,
+            progress=lambda i, s: print(
+                f"[{i}/{n}] mismatches={s.mismatch_total} "
+                f"cpp={s.cpp_mismatch}/{s.cpp_total}", file=sys.stderr))
     print(json.dumps(stats.as_dict(), indent=2))
 
 
