@@ -270,7 +270,19 @@ def assemble_dense(peaks: Peaks, conns: Connections,
             labels = jnp.where(fuse & (labels == rmax), rmin, labels)
             return labels, pres, o_this, o_other, creation, bon_s, bon_c
 
-        return jax.lax.fori_loop(0, k, body, state)
+        # greedy fills valid connections contiguously from slot 0, so
+        # the walk stops at the first invalid slot (typically a few
+        # rounds, not K; under vmap: the batch worst case)
+        def cond(carry):
+            t, _ = carry
+            return (t < k) & jnp.any((iota_k == t) & ev_p)
+
+        def step(carry):
+            t, st = carry
+            return t + 1, body(t, st)
+
+        return jax.lax.while_loop(
+            cond, step, (jnp.int32(0), state))[1]
 
     bon_s = jnp.zeros(n, jnp.float32)
     bon_c = jnp.zeros(n, jnp.float32)
@@ -490,7 +502,17 @@ def assemble(peaks: Peaks, conns: Connections,
             labels = jnp.where(fuse & (labels == rmax), rmin, labels)
             return labels, pres, o_this, o_other, creation, bon_s, bon_c
 
-        return jax.lax.fori_loop(0, k, body, state)
+        # stop at the first invalid slot (greedy fills contiguously)
+        def cond(carry):
+            t, _ = carry
+            return (t < k) & e_valid[base + t]
+
+        def step(carry):
+            t, st = carry
+            return t + 1, body(t, st)
+
+        return jax.lax.while_loop(
+            cond, step, (jnp.int32(0), state))[1]
 
     bon_s = jnp.zeros(n, jnp.float32)
     bon_c = jnp.zeros(n, jnp.int32)

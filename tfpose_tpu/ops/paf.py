@@ -242,8 +242,19 @@ def greedy_connections(cands: Candidates,
     lane_k = jnp.arange(k, dtype=jnp.int32)
 
     def per_pair(score_kk, ok_kk):
-        def body(t, carry):
-            used_a, used_b, a_sl, b_sl, sc, val = carry
+        # while_loop instead of a fixed K-round fori: accepted
+        # connections fill slots contiguously and acceptance is
+        # monotone (once no unused candidate remains it stays so), so
+        # the loop stops after the last acceptance — typically
+        # n_people+1 rounds, not max_peaks (under vmap: the batch/pair
+        # worst case). Semantics identical to the K-round loop.
+        def cond(carry):
+            t, cont, _ = carry
+            return cont & (t < k)
+
+        def body(carry):
+            t, _, st = carry
+            used_a, used_b, a_sl, b_sl, sc, val = st
             masked = jnp.where(
                 ok_kk & ~used_a[:, None] & ~used_b[None, :], score_kk, neg)
             flat = masked.reshape(-1)
@@ -259,12 +270,13 @@ def greedy_connections(cands: Candidates,
             b_sl = jnp.where(slot, jnp.where(take, bi, -1), b_sl)
             sc = jnp.where(slot, jnp.where(take, best, 0.0), sc)
             val = jnp.where(slot, take, val)
-            return used_a, used_b, a_sl, b_sl, sc, val
+            return t + 1, take, (used_a, used_b, a_sl, b_sl, sc, val)
 
         init = (jnp.zeros(k, bool), jnp.zeros(k, bool),
                 jnp.full(k, -1, jnp.int32), jnp.full(k, -1, jnp.int32),
                 jnp.zeros(k, jnp.float32), jnp.zeros(k, bool))
-        _, _, a_sl, b_sl, sc, val = jax.lax.fori_loop(0, k, body, init)
+        _, _, (_, _, a_sl, b_sl, sc, val) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.bool_(True), init))
         return a_sl, b_sl, sc, val
 
     a_sl, b_sl, sc, val = jax.vmap(per_pair)(cands.score, cands.ok)
