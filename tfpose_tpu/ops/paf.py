@@ -35,7 +35,12 @@ class Candidates(NamedTuple):
 
 
 class Connections(NamedTuple):
-    """Greedy-selected connections; arrays are (num_pairs, K)."""
+    """Greedy-selected connections; arrays are (num_pairs, K).
+
+    Invariant: valid connections occupy slots 0..m-1 contiguously per
+    pair (greedy fills slots in acceptance order and acceptance is
+    monotone). ``ops.assemble`` relies on this to stop its per-pair
+    walks at the first invalid slot."""
 
     a_slot: jnp.ndarray  # int32 slot into peaks of part pairs[p][0]
     b_slot: jnp.ndarray  # int32 slot into peaks of part pairs[p][1]
