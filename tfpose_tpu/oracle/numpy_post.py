@@ -40,10 +40,19 @@ def area_resize_weights(in_size: int, out_size: int) -> np.ndarray:
 
 
 def area_resize(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """(H, W, C) -> (out_h, out_w, C) area resize."""
+    """(H, W, C) -> (out_h, out_w, C) area resize.
+
+    Two separable contractions (W_h over rows, then W_w over columns)
+    rather than one naive 4-way einsum — ~100x faster on the 1-core
+    host and identical to ~1e-15 relative (float64 reassociation
+    only). Every output pixel is computed by the same dot-product
+    routine, so exactly-equal neighborhoods still produce exactly
+    equal outputs — the tie determinism the NMS parity recipes need.
+    """
     wh = area_resize_weights(x.shape[0], out_h)
     ww = area_resize_weights(x.shape[1], out_w)
-    return np.einsum("hH,wW,HWc->hwc", wh, ww, x.astype(np.float64))
+    tmp = np.tensordot(wh, x.astype(np.float64), axes=(1, 0))  # (h,W,C)
+    return np.tensordot(ww, tmp, axes=(1, 1)).transpose(1, 0, 2)
 
 
 def gauss_kernel_1d(kernlen: int = 25, nsig: float = 3.0) -> np.ndarray:
