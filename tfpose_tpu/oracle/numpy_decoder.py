@@ -117,16 +117,56 @@ def _score_pair(peak_a: Peak, peak_b: Peak, paf_map: np.ndarray,
     return ok, criterion2
 
 
+def _score_all(peaks_a: Sequence[Peak], peaks_b: Sequence[Peak],
+               paf_map: np.ndarray, ch_x: int, ch_y: int,
+               params: DecodeParams):
+    """Vectorised twin of :func:`_score_pair` over all (a, b) pairs —
+    bitwise identical: float64 throughout, the sample sum accumulates
+    in the same sequential order (a Python loop over the 10 samples
+    with vectorised adds), and roundpaf = floor(v + 0.5) matches the
+    scalar int(v + 0.5) for the non-negative coords involved."""
+    h = paf_map.shape[0]
+    ax = np.array([p.x for p in peaks_a], np.float64)
+    ay = np.array([p.y for p in peaks_a], np.float64)
+    bx = np.array([p.x for p in peaks_b], np.float64)
+    by = np.array([p.y for p in peaks_b], np.float64)
+    dx = bx[None, :] - ax[:, None]
+    dy = by[None, :] - ay[:, None]
+    norm = np.sqrt(dx * dx + dy * dy)
+    valid = norm >= 1e-12
+    safe = np.where(valid, norm, 1.0)
+    vx, vy = dx / safe, dy / safe
+    step_x = dx / params.step_paf
+    step_y = dy / params.step_paf
+    pafx = paf_map[:, :, ch_x].astype(np.float64)
+    pafy = paf_map[:, :, ch_y].astype(np.float64)
+    scores_sum = np.zeros_like(dx)
+    count = np.zeros(dx.shape, np.int64)
+    for i in range(params.step_paf):
+        lx = np.floor(ax[:, None] + i * step_x + 0.5).astype(np.intp)
+        ly = np.floor(ay[:, None] + i * step_y + 0.5).astype(np.intp)
+        s = vx * pafx[ly, lx] + vy * pafy[ly, lx]
+        scores_sum = scores_sum + s   # sequential, like the scalar loop
+        count += s > params.thresh_vector_score
+    criterion2 = scores_sum / params.step_paf + np.minimum(
+        0.0, 0.5 * h / safe - 1.0)
+    ok = (valid & (count > params.thresh_vector_cnt1)
+          & (criterion2 > 0.0))
+    return ok, criterion2
+
+
 def connect_pair(peaks_a: Sequence[Peak], peaks_b: Sequence[Peak],
                  paf_map: np.ndarray, ch_x: int, ch_y: int,
                  params: DecodeParams) -> List[Connection]:
     """Candidate generation + greedy non-conflicting selection for one pair."""
     candidates = []
-    for pa in peaks_a:
-        for pb in peaks_b:
-            ok, score = _score_pair(pa, pb, paf_map, ch_x, ch_y, params)
-            if ok:
-                candidates.append((score, pa, pb))
+    if peaks_a and peaks_b:
+        ok, crit = _score_all(peaks_a, peaks_b, paf_map, ch_x, ch_y,
+                              params)
+        for ia, pa in enumerate(peaks_a):      # a-major scan order
+            for ib, pb in enumerate(peaks_b):
+                if ok[ia, ib]:
+                    candidates.append((float(crit[ia, ib]), pa, pb))
     # sort by score descending; stable so insertion (scan) order breaks ties
     candidates.sort(key=lambda c: -c[0])
     connections: List[Connection] = []
