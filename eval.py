@@ -134,7 +134,8 @@ def eval_synthetic_e2e(args):
     w, h = w or 96, h or 96
     e = TfPoseEstimator(args.model, target_size=(w, h),
                         dtype=args.dtype,
-                        params_path=args.params or None)
+                        params_path=args.params or None,
+                        quantize=args.quantize)
     rng = np.random.default_rng(7)
     gts, dets = {}, []
     for idx in range(args.synthetic_e2e):
@@ -189,6 +190,9 @@ def main(argv=None):
                         help="evaluate the FULL estimator (backbone + "
                              "decode) on N rendered scenes — the "
                              "trained-checkpoint learning gate")
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 PTQ backbone (calibrated on "
+                             "synthetic scenes; models/quantize.py)")
     parser.add_argument("--params", type=str, default="",
                         help="msgpack params for --synthetic-e2e / "
                              "--coco-json (trained checkpoint export)")
@@ -205,7 +209,8 @@ def main(argv=None):
         w, h = model_wh(args.resize)
         e = TfPoseEstimator(args.model, target_size=(w or 432, h or 368),
                             dtype=args.dtype,
-                            params_path=args.params or None)
+                            params_path=args.params or None,
+                            quantize=args.quantize)
         stats = eval_coco(args, e)
     else:
         parser.error("need --coco-json, --synthetic N, or "

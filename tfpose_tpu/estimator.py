@@ -97,7 +97,16 @@ class TfPoseEstimator:
                  dtype: str = "float32",
                  params_path: Optional[str] = None,
                  warmup: bool = False,
-                 device_preprocess: bool = False):
+                 device_preprocess: bool = False,
+                 quantize: bool = False,
+                 calibration_images: Optional[np.ndarray] = None):
+        """``quantize=True`` switches the backbone to calibrated int8
+        PTQ inference (models/quantize.py) — the TPU-native analogue of
+        the reference's quantized-graph experiments
+        (``_quantize_img`` / quantized model entry in networks.py
+        [LC]). Decode always stays fp32. ``calibration_images`` is an
+        optional (N, H, W, 3) uint8 stack; default is a rendered
+        synthetic calibration set at ``target_size``."""
         from tfpose_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
 
@@ -128,6 +137,18 @@ class TfPoseEstimator:
         else:
             logger.warning(
                 "no checkpoint at %s — running with random init", path)
+
+        self.quantized = quantize
+        if quantize:
+            from tfpose_tpu.models.quantize import quantize_variables
+            self.variables = quantize_variables(
+                model, dict(self.variables), calibration_images,
+                target_size=target_size)
+            self.net = get_network(model, dtype=self._dtype,
+                                   quant="int8")
+            logger.info("int8 PTQ backbone enabled (calibrated on %s)",
+                        "user images" if calibration_images is not None
+                        else "synthetic scenes")
 
         self.heatMat: Optional[np.ndarray] = None
         self.pafMat: Optional[np.ndarray] = None

@@ -25,34 +25,36 @@ class CmuNetwork(nn.Module):
 
     dtype: Any = jnp.float32
     num_stages: int = 6
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        q = self.quant
         x = x.astype(d)
 
         # VGG-19 prefix
         for name, ch in (("conv1_1", 64), ("conv1_2", 64)):
-            x = Conv(ch, (3, 3), dtype=d, name=name)(x)
+            x = Conv(ch, (3, 3), dtype=d, quant=q, name=name)(x)
         x = max_pool(x)
         for name, ch in (("conv2_1", 128), ("conv2_2", 128)):
-            x = Conv(ch, (3, 3), dtype=d, name=name)(x)
+            x = Conv(ch, (3, 3), dtype=d, quant=q, name=name)(x)
         x = max_pool(x)
         for name in ("conv3_1", "conv3_2", "conv3_3", "conv3_4"):
-            x = Conv(256, (3, 3), dtype=d, name=name)(x)
+            x = Conv(256, (3, 3), dtype=d, quant=q, name=name)(x)
         x = max_pool(x)
         for name in ("conv4_1", "conv4_2"):
-            x = Conv(512, (3, 3), dtype=d, name=name)(x)
-        x = Conv(256, (3, 3), dtype=d, name="conv4_3_CPM")(x)
-        feat = Conv(128, (3, 3), dtype=d, name="conv4_4_CPM")(x)
+            x = Conv(512, (3, 3), dtype=d, quant=q, name=name)(x)
+        x = Conv(256, (3, 3), dtype=d, quant=q, name="conv4_3_CPM")(x)
+        feat = Conv(128, (3, 3), dtype=d, quant=q, name="conv4_4_CPM")(x)
 
         # stage 1
         def stage1_branch(li: int, out_ch: int, h):
             for i in (1, 2, 3):
-                h = Conv(128, (3, 3), dtype=d,
+                h = Conv(128, (3, 3), dtype=d, quant=q,
                          name=f"conv5_{i}_CPM_L{li}")(h)
-            h = Conv(512, (1, 1), dtype=d, name=f"conv5_4_CPM_L{li}")(h)
-            h = Conv(out_ch, (1, 1), relu=False, dtype=d,
+            h = Conv(512, (1, 1), dtype=d, quant=q, name=f"conv5_4_CPM_L{li}")(h)
+            h = Conv(out_ch, (1, 1), relu=False, dtype=d, quant=q,
                      name=f"conv5_5_CPM_L{li}")(h)
             return h
 
@@ -66,11 +68,11 @@ class CmuNetwork(nn.Module):
 
             def refine_branch(li: int, out_ch: int, h):
                 for i in (1, 2, 3, 4, 5):
-                    h = Conv(128, (7, 7), dtype=d,
+                    h = Conv(128, (7, 7), dtype=d, quant=q,
                              name=f"Mconv{i}_stage{s}_L{li}")(h)
-                h = Conv(128, (1, 1), dtype=d,
+                h = Conv(128, (1, 1), dtype=d, quant=q,
                          name=f"Mconv6_stage{s}_L{li}")(h)
-                h = Conv(out_ch, (1, 1), relu=False, dtype=d,
+                h = Conv(out_ch, (1, 1), relu=False, dtype=d, quant=q,
                          name=f"Mconv7_stage{s}_L{li}")(h)
                 return h
 

@@ -35,22 +35,24 @@ class MobilenetNetwork(nn.Module):
     conv_width2: float = 0.50
     dtype: Any = jnp.float32
     num_stages: int = 6
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        q = self.quant
         x = x.astype(d)
         depth = lambda ch: max(int(ch * self.conv_width), _MIN_DEPTH)
         depth2 = lambda ch: max(int(ch * self.conv_width2), _MIN_DEPTH)
 
         # backbone (name, channels, stride)
-        x = ConvBN(depth(32), (3, 3), (2, 2), dtype=d, name="Conv2d_0")(
-            x, train)
+        x = ConvBN(depth(32), (3, 3), (2, 2), dtype=d, quant=q,
+                   name="Conv2d_0")(x, train)
         taps = {}
         spec = [(64, 1), (128, 2), (128, 1), (256, 2), (256, 1),
                 (512, 1), (512, 1), (512, 1), (512, 1), (512, 1), (512, 1)]
         for i, (ch, s) in enumerate(spec, start=1):
-            x = SeparableConv(depth(ch), (3, 3), (s, s), dtype=d,
+            x = SeparableConv(depth(ch), (3, 3), (s, s), dtype=d, quant=q,
                               name=f"Conv2d_{i}")(x, train)
             taps[f"Conv2d_{i}"] = x
 
@@ -65,7 +67,7 @@ class MobilenetNetwork(nn.Module):
             if s > 1:
                 h = jnp.concatenate([paf, heat, feat], axis=-1)
             paf, heat = CPMStage(38, 19, depth2(128), depth2(512), dtype=d,
-                                 name=f"MConv_Stage{s}")(h, train)
+                                 quant=q, name=f"MConv_Stage{s}")(h, train)
             stages.append((paf, heat))
 
         out = jnp.concatenate([heat, paf], axis=-1)

@@ -18,7 +18,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from tfpose_tpu.models.layers import CPMStage, make_divisible
+from tfpose_tpu.models.layers import CPMStage, conv_layer, make_divisible
 from tfpose_tpu.ops.resize import resize_bilinear
 
 # V2_DEF inverted residual blocks: (expansion, channels, stride)
@@ -41,26 +41,29 @@ class InvertedResidual(nn.Module):
     expansion: int
     stride: int
     dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        q = self.quant
         in_ch = x.shape[-1]
         h = x
         if self.expansion != 1:
-            h = nn.Conv(in_ch * self.expansion, (1, 1), use_bias=False,
-                        dtype=d, name="expand")(h)
+            h = conv_layer(q, in_ch * self.expansion, (1, 1), (1, 1),
+                           use_bias=False, dtype=d, name="expand")(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.997,
                              epsilon=1e-3, dtype=d, name="expand_bn")(h)
             h = nn.relu6(h)
-        h = nn.Conv(h.shape[-1], (3, 3), (self.stride, self.stride),
-                    padding="SAME", feature_group_count=h.shape[-1],
-                    use_bias=False, dtype=d, name="depthwise")(h)
+        h = conv_layer(q, h.shape[-1], (3, 3),
+                       (self.stride, self.stride),
+                       feature_group_count=h.shape[-1],
+                       use_bias=False, dtype=d, name="depthwise")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.997,
                          epsilon=1e-3, dtype=d, name="dw_bn")(h)
         h = nn.relu6(h)
-        h = nn.Conv(self.features, (1, 1), use_bias=False, dtype=d,
-                    name="project")(h)
+        h = conv_layer(q, self.features, (1, 1), (1, 1), use_bias=False,
+                       dtype=d, name="project")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.997,
                          epsilon=1e-3, dtype=d, name="project_bn")(h)
         if self.stride == 1 and in_ch == self.features:
@@ -75,10 +78,12 @@ class MobilenetV2Network(nn.Module):
     refine_width: float = 1.0     # CPM stage width multiplier
     dtype: Any = jnp.float32
     num_stages: int = 6
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        q = self.quant
         x = x.astype(d)
         m = self.conv_width
 
@@ -86,14 +91,14 @@ class MobilenetV2Network(nn.Module):
             # slim: multiplier applied with make_divisible, floor 8
             return make_divisible(ch * m, 8)
 
-        h = nn.Conv(dm(32), (3, 3), (2, 2), padding="SAME", use_bias=False,
-                    dtype=d, name="Conv")(x)
+        h = conv_layer(q, dm(32), (3, 3), (2, 2), use_bias=False,
+                       dtype=d, name="Conv")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.997,
                          epsilon=1e-3, dtype=d, name="Conv_bn")(h)
         h = nn.relu6(h)
         tap8 = tap16 = None
         for i, (t, c, s) in enumerate(_V2_BLOCKS):
-            h = InvertedResidual(dm(c), t, s, dtype=d,
+            h = InvertedResidual(dm(c), t, s, dtype=d, quant=q,
                                  name=f"expanded_conv_{i}")(h, train)
             if i == _TAP_S8:
                 tap8 = h
@@ -112,7 +117,7 @@ class MobilenetV2Network(nn.Module):
             if s > 1:
                 g = jnp.concatenate([paf, heat, feat], axis=-1)
             paf, heat = CPMStage(38, 19, depth2(128), depth2(512), dtype=d,
-                                 name=f"MConv_Stage{s}")(g, train)
+                                 quant=q, name=f"MConv_Stage{s}")(g, train)
             stages.append((paf, heat))
 
         out = jnp.concatenate([heat, paf], axis=-1)

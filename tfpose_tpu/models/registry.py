@@ -25,21 +25,28 @@ _DEFAULT_MODEL_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "models")
 
 
-def get_network(name: str, dtype: Any = jnp.float32):
-    """Instantiate a backbone by reference model name."""
+def get_network(name: str, dtype: Any = jnp.float32,
+                quant: str = "none"):
+    """Instantiate a backbone by reference model name.
+
+    ``quant``: "none" (fp32/bf16), "int8" (calibrated PTQ inference,
+    see models/quantize.py) or "calib" (fp32 forward recording per-conv
+    input absmax into the mutable 'quant' collection).
+    """
     if name in ("cmu", "vgg"):
-        return CmuNetwork(dtype=dtype)
+        return CmuNetwork(dtype=dtype, quant=quant)
     if name == "mobilenet":
-        return MobilenetNetwork(conv_width=1.0, conv_width2=1.0, dtype=dtype)
+        return MobilenetNetwork(conv_width=1.0, conv_width2=1.0,
+                                dtype=dtype, quant=quant)
     if name == "mobilenet_thin":
         return MobilenetNetwork(conv_width=0.75, conv_width2=0.50,
-                                dtype=dtype)
+                                dtype=dtype, quant=quant)
     if name == "mobilenet_v2_large":
         return MobilenetV2Network(conv_width=1.4, refine_width=1.0,
-                                  dtype=dtype)
+                                  dtype=dtype, quant=quant)
     if name == "mobilenet_v2_small":
         return MobilenetV2Network(conv_width=0.50, refine_width=0.50,
-                                  dtype=dtype)
+                                  dtype=dtype, quant=quant)
     raise ValueError(
         f"unknown model {name!r}; known: {', '.join(MODEL_NAMES)}")
 
