@@ -147,22 +147,31 @@ def decode_batch(net_out: jnp.ndarray, up_h: int, up_w: int,
 
     net_out = net_out.astype(jnp.float32)
     pafm = net_out[..., NUM_HEATMAP_CH:]
-    h8, w8 = pafm.shape[1], pafm.shape[2]
+    b, h8, w8 = pafm.shape[0], pafm.shape[1], pafm.shape[2]
+    # batch x part planes are homogeneous — flatten them into ONE
+    # kernel call (channel axis b*18) instead of a vmap-lifted (b, 3)
+    # grid: c_blk grows 6 -> 8 and the program count drops, amortising
+    # launch/DMA and widening the per-round reduction ILP in the
+    # top-K loop
     if can_use_phase_kernel(h8, w8, up_h, up_w):
-        scores, idx = jax.vmap(
-            lambda t: smooth_nms_topk_raw_pallas(
-                t, up_h // h8, up_w // w8, params.max_peaks,
-                params.thresh_heat, params.smooth_kernel_size,
-                params.smooth_sigma)
-        )(net_out[..., :NUM_PARTS])
+        hb = jnp.transpose(net_out[..., :NUM_PARTS],
+                           (1, 2, 0, 3)).reshape(h8, w8, -1)
+        s, i = smooth_nms_topk_raw_pallas(
+            hb, up_h // h8, up_w // w8, params.max_peaks,
+            params.thresh_heat, params.smooth_kernel_size,
+            params.smooth_sigma)
+        scores = s.reshape(b, NUM_PARTS, -1)
+        idx = i.reshape(b, NUM_PARTS, -1)
     else:
         heat_up = resize.resize_area(net_out[..., :NUM_HEATMAP_CH],
                                      up_h, up_w)
-        scores, idx = jax.vmap(
-            lambda t: smooth_nms_topk_pallas(
-                t, params.max_peaks, params.thresh_heat,
-                params.smooth_kernel_size, params.smooth_sigma)
-        )(heat_up[..., :NUM_PARTS])
+        hb = jnp.transpose(heat_up[..., :NUM_PARTS],
+                           (1, 2, 0, 3)).reshape(up_h, up_w, -1)
+        s, i = smooth_nms_topk_pallas(
+            hb, params.max_peaks, params.thresh_heat,
+            params.smooth_kernel_size, params.smooth_sigma)
+        scores = s.reshape(b, NUM_PARTS, -1)
+        idx = i.reshape(b, NUM_PARTS, -1)
     idx_safe = jnp.maximum(idx, 0)
     pk = nms.Peaks(x=(idx_safe % up_w).astype(jnp.int32),
                    y=(idx_safe // up_w).astype(jnp.int32),

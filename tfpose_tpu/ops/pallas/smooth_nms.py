@@ -62,6 +62,68 @@ def _kernel(x_ref, out_ref, *, kern: tuple, pad: int, h: int, w: int):
     out_ref[0] = jnp.where(sm >= mx, sm, jnp.zeros_like(sm))
 
 
+def _topk_rounds(peaks, fi2, big, k_top: int):
+    """Iterative exact top-K over ``c_blk`` peak planes (suppressed
+    values -inf), shared by the full-res and phase kernels.
+
+    Each round is two cheap VPU reduces per channel — max, then
+    min-index among ties (matches jax.lax.top_k / the reference C++
+    scan's row-major preference) — with the channel loop INSIDE the
+    round so the c_blk reductions are mutually independent (ILP).
+    The rounds run under a ``while_loop`` that exits as soon as a round
+    finds no peak in any channel: real scenes have ~n_people peaks per
+    part, so decode stops after a handful of rounds instead of always
+    paying k_top full-plane scans (worst-case noise still runs all
+    k_top rounds; results are bit-identical either way because
+    exhausted rounds were already no-ops).
+
+    Returns (scores, idxs): tuples of (8, 128) accumulator tiles.
+    """
+    neg = jnp.float32(-jnp.inf)
+    c_blk = len(peaks)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    # rounds per while iteration: unrolling amortises the loop's scalar
+    # overhead on peak-dense (worst-case noise) inputs; the exit check
+    # between chunks still skips ~7/8 of the rounds on real scenes
+    chunk = 4 if k_top % 4 == 0 else 1
+
+    def cond(carry):
+        t, alive = carry[0], carry[1]
+        return (t < k_top) & (alive > 0)
+
+    def body(carry):
+        t, _, planes, scores, idxs = carry
+        planes, scores, idxs = list(planes), list(scores), list(idxs)
+        for r in range(chunk):
+            founds = []
+            for c in range(c_blk):
+                pc = planes[c]
+                m = jnp.max(pc)
+                idx = jnp.min(jnp.where(pc >= m, fi2, big))
+                found = m > neg
+                founds.append(found)
+                sel = (lane == t + r) & found
+                scores[c] = jnp.where(sel, m, scores[c])
+                idxs[c] = jnp.where(sel, idx, idxs[c])
+                planes[c] = jnp.where(fi2 == idx, neg, pc)
+        # exit when the chunk's LAST round found nothing anywhere: a
+        # later round can never find what this one could not
+        alive = founds[0]
+        for f in founds[1:]:
+            alive = alive | f
+        return (t + chunk, alive.astype(jnp.int32), tuple(planes),
+                tuple(scores), tuple(idxs))
+
+    init = (jnp.int32(0), jnp.int32(1), tuple(peaks),
+            tuple(jnp.zeros((8, 128), jnp.float32)
+                  for _ in range(c_blk)),
+            tuple(jnp.full((8, 128), -1, jnp.int32)
+                  for _ in range(c_blk)))
+    _, _, _, scores, idxs = jax.lax.while_loop(cond, body, init)
+    return scores, idxs
+
+
 def _topk_kernel(x_ref, scores_ref, idx_ref, *, kern: tuple, pad: int,
                  h: int, w: int, k_top: int, thresh: float,
                  c_blk: int):
@@ -101,29 +163,14 @@ def _topk_kernel(x_ref, scores_ref, idx_ref, *, kern: tuple, pad: int,
     flat_idx = row_ids * w + col_ids
     peaks_blk = jnp.where((sm >= mx) & (sm > thresh), sm, neg)
 
-    # iterative exact top-K per channel, each round two cheap VPU
-    # reduces — max, then min-index among ties to match jax.lax.top_k /
-    # the reference's row-major scan preference. The round loop is the
-    # outer one so each round's c_blk channel reductions are mutually
-    # independent (ILP): the serial dependency chain is k_top rounds,
-    # not c_blk * k_top. All per-round ops stay 2-D — Mosaic's layout
-    # pass crashes on (c, 1, 1) keepdims reductions. Results accumulate
-    # in (8, 128) register tiles (TPU-aligned), written once at the end.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128 + \
-        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    # iterative exact top-K with early exit (see _topk_rounds); all
+    # per-round ops stay 2-D — Mosaic's layout pass crashes on
+    # (c, 1, 1) keepdims reductions. Results accumulate in (8, 128)
+    # register tiles (TPU-aligned), written once at the end.
     fi2 = flat_idx[0]                                   # (h, w), same /ch
     peaks = [peaks_blk[c] for c in range(c_blk)]
-    scores_acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(c_blk)]
-    idx_acc = [jnp.full((8, 128), -1, jnp.int32) for _ in range(c_blk)]
-    for t in range(k_top):
-        for c in range(c_blk):
-            m = jnp.max(peaks[c])
-            idx = jnp.min(jnp.where(peaks[c] >= m, fi2, jnp.int32(h * w)))
-            found = m > neg
-            sel = (lane == t) & found
-            scores_acc[c] = jnp.where(sel, m, scores_acc[c])
-            idx_acc[c] = jnp.where(sel, idx, idx_acc[c])
-            peaks[c] = jnp.where(fi2 == idx, neg, peaks[c])
+    scores_acc, idx_acc = _topk_rounds(peaks, fi2, jnp.int32(h * w),
+                                       k_top)
     for c in range(c_blk):
         scores_ref[c] = scores_acc[c]
         idx_ref[c] = idx_acc[c]
@@ -142,7 +189,16 @@ def smooth_nms_topk_pallas(heat: jnp.ndarray, k_top: int,
     kern = tuple(float(v) for v in gauss_kernel_1d(kernlen, nsig))
     if k_top > 1024:
         raise ValueError("k_top must be <= 1024 (8x128 result tile)")
-    c_blk = 6 if c % 6 == 0 else (3 if c % 3 == 0 else 1)
+    # largest channel block that divides c and fits the scoped VMEM
+    # budget (~5 working planes per channel); bigger blocks amortise
+    # launch/DMA and widen the per-round reduction ILP in _topk_rounds
+    per_ch = (4 * h * w + (h + 2 * pad) * (w + 2 * pad)
+              + h * (w + 2 * pad)) * 4
+    c_blk = 1
+    for cand in (8, 6, 4, 3, 2):
+        if c % cand == 0 and cand * per_ch <= 10 * 1024 * 1024:
+            c_blk = cand
+            break
     x = jnp.transpose(heat, (2, 0, 1))
     x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)))
     scores, idx = pl.pallas_call(
@@ -304,20 +360,8 @@ def _topk_phase_kernel(x_ref, scores_ref, idx_ref, *, wv: tuple,
     fi2 = (fy * i_ids + a_ids) * up_w + fx * j_ids + b_ids
     big = jnp.int32(fy * h8 * up_w)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128 + \
-        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     planes = [stacked[c] for c in range(c_blk)]
-    scores_acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(c_blk)]
-    idx_acc = [jnp.full((8, 128), -1, jnp.int32) for _ in range(c_blk)]
-    for t in range(k_top):
-        for c in range(c_blk):
-            m = jnp.max(planes[c])
-            idx = jnp.min(jnp.where(planes[c] >= m, fi2, big))
-            found = m > neg
-            sel = (lane == t) & found
-            scores_acc[c] = jnp.where(sel, m, scores_acc[c])
-            idx_acc[c] = jnp.where(sel, idx, idx_acc[c])
-            planes[c] = jnp.where(fi2 == idx, neg, planes[c])
+    scores_acc, idx_acc = _topk_rounds(planes, fi2, big, k_top)
     for c in range(c_blk):
         scores_ref[c] = scores_acc[c]
         idx_ref[c] = idx_acc[c]
@@ -357,7 +401,7 @@ def smooth_nms_topk_raw_pallas(heat8: jnp.ndarray, fy: int, fx: int,
               + (h8 + nv - 1) * (w8 + nh - 1)) * 4
     budget = 10 * 1024 * 1024
     c_blk = 1
-    for cand in (6, 3):
+    for cand in (8, 6, 4, 3, 2):
         if c % cand == 0 and cand * per_ch <= budget:
             c_blk = cand
             break
