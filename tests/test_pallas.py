@@ -132,3 +132,45 @@ def test_phase_kernel_matches_fullres_kernel():
         np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_new),
                                    atol=1e-6)
     assert not can_use_phase_kernel(46, 54, 183, 216)  # non-integer
+
+
+def test_paf_score_kernel_prefix_valid_row_skip():
+    """prefix_valid=True (the production decode path) lets the kernel
+    skip candidate rows whose a-endpoints are all invalid. On
+    prefix-valid peaks (descending scores, valid = leading slots — the
+    top-K extraction's invariant) every OK candidate's score and the
+    full ok mask must match both the full-compute kernel and the XLA
+    row-gather reference; not-ok scores are dead values downstream."""
+    import jax.numpy as jnp
+
+    from tfpose_tpu.core.config import DecodeParams
+    from tfpose_tpu.ops import nms, paf, resize
+    from tfpose_tpu.utils import synthetic
+
+    params = DecodeParams()
+    k = params.max_peaks
+    h8, w8, up_h, up_w = 46, 54, 184, 216
+    rng = np.random.default_rng(5)
+    net = synthetic.render_scene(rng, 3, h8, w8)[0]
+    heat_up = resize.resize_area(jnp.asarray(net[..., :19]), up_h, up_w)
+    from tfpose_tpu.ops.gaussian import smooth
+    peaks_map = nms.nms(smooth(heat_up, params.smooth_kernel_size,
+                               params.smooth_sigma), params.nms_window)
+    pk = nms.top_peaks(peaks_map, k, params.thresh_heat)
+    v = np.asarray(pk.valid)
+    # top_peaks emits descending scores -> validity is a prefix
+    assert np.all(v[:, :-1] >= v[:, 1:])
+    pafm = jnp.asarray(net[..., 19:])
+    skip = paf.score_candidates_pallas(pk, pafm, up_h, up_w, params,
+                                       interpret=True, prefix_valid=True)
+    full = paf.score_candidates_pallas(pk, pafm, up_h, up_w, params,
+                                       interpret=True)
+    ref = paf.score_candidates(pk, resize.resize_area(pafm, up_h, up_w),
+                               params)
+    np.testing.assert_array_equal(np.asarray(skip.ok), np.asarray(ref.ok))
+    okm = np.asarray(ref.ok)
+    assert okm.sum() > 10  # a real scene: the skip path is exercised
+    np.testing.assert_array_equal(np.asarray(skip.score)[okm],
+                                  np.asarray(full.score)[okm])
+    np.testing.assert_allclose(np.asarray(skip.score)[okm],
+                               np.asarray(ref.score)[okm], atol=1e-6)

@@ -114,7 +114,7 @@ def decode(net_out: jnp.ndarray, up_h: int, up_w: int,
         # the upsampled PAF map never materialises (integer-factor
         # area resize is exact replication)
         cands = paf.score_candidates_pallas(pk, pafm, up_h, up_w,
-                                            params)
+                                            params, prefix_valid=True)
     else:
         paf_up = resize.resize_area(pafm, up_h, up_w)
         cands = paf.score_candidates(pk, paf_up, params)
@@ -178,9 +178,9 @@ def decode_batch(net_out: jnp.ndarray, up_h: int, up_w: int,
                    score=scores, valid=scores > params.thresh_heat)
     if paf.can_use_pallas_sampling(h8, w8, up_h, up_w,
                                    params.max_peaks):
-        cands = jax.vmap(
-            lambda p, m: paf.score_candidates_pallas(
-                p, m, up_h, up_w, params))(pk, pafm)
+        cands = paf.score_candidates_pallas_batch(pk, pafm, up_h, up_w,
+                                                  params,
+                                                  prefix_valid=True)
     else:
         paf_up = resize.resize_area(pafm, up_h, up_w)
         cands = paf.score_candidates_batch(pk, paf_up, params)

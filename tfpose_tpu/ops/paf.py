@@ -145,7 +145,8 @@ def score_candidates_batch(peaks_b: Peaks, paf_up_b: jnp.ndarray,
 def score_candidates_pallas(peaks: Peaks, paf8: jnp.ndarray,
                             up_h: int, up_w: int,
                             params: DecodeParams,
-                            interpret: bool = False) -> Candidates:
+                            interpret: bool = False,
+                            prefix_valid: bool = False) -> Candidates:
     """Gather-free candidate scoring via the Pallas sampling kernel.
 
     ``paf8``: the RAW stride-8 PAF map (h8, w8, 38) — valid whenever
@@ -153,6 +154,14 @@ def score_candidates_pallas(peaks: Peaks, paf8: jnp.ndarray,
     ``resize_area`` is exact replication (ops/resize.py:87), so
     paf_up[y, x] == paf8[y//f, x//f]. Callers must check
     :func:`can_use_pallas_sampling` first.
+
+    ``prefix_valid=True`` asserts each part's valid peaks occupy a
+    PREFIX of its K slots (true for the production top-K extraction:
+    scores come out descending and valid = score > thresh) — the
+    kernel then skips candidate rows whose a-endpoints are all
+    invalid. Scores of invalid candidates become 0+penalty instead of
+    their sampled value, which is unobservable downstream (`ok` is
+    False there and greedy/assembly never read not-ok scores).
     """
     from tfpose_tpu.ops.pallas.paf_score import (
         HPAD, paf_sample_scores_pallas)
@@ -195,11 +204,17 @@ def score_candidates_pallas(peaks: Peaks, paf8: jnp.ndarray,
 
     vxs = jnp.broadcast_to(vx[..., None], vx.shape + (s,))
     vys = jnp.broadcast_to(vy[..., None], vy.shape + (s,))
+    nrows = None
+    if prefix_valid:
+        from tfpose_tpu.ops.pallas.paf_score import LANES
+        va = jnp.sum(av.astype(jnp.int32), axis=1)      # (19,)
+        nrows = jnp.where(jnp.any(bv, axis=1),
+                          (va * k + LANES - 1) // LANES, 0)
     mean, cnt = paf_sample_scores_pallas(
         planes_t, sample_major(iy8, 0), sample_major(ix8, 0),
         sample_major(vxs, 0.0), sample_major(vys, 0.0),
         s_paf=s, thresh=float(params.thresh_vector_score),
-        interpret=interpret)
+        nrows=nrows, interpret=interpret)
     mean = mean[:, :kk].reshape(19, k, k)
     cnt = cnt[:, :kk].reshape(19, k, k)
 
@@ -210,6 +225,74 @@ def score_candidates_pallas(peaks: Peaks, paf8: jnp.ndarray,
           & (criterion2 > 0.0)
           & safe
           & av[:, :, None] & bv[:, None, :])
+    return Candidates(score=criterion2, ok=ok)
+
+
+def score_candidates_pallas_batch(peaks_b: Peaks, paf8_b: jnp.ndarray,
+                                  up_h: int, up_w: int,
+                                  params: DecodeParams,
+                                  interpret: bool = False,
+                                  prefix_valid: bool = True
+                                  ) -> Candidates:
+    """Batched gather-free scoring: ONE kernel call over b*19 pair
+    planes instead of a vmap-lifted grid (Mosaic rejects the row-skip
+    scalar's SMEM block spec under vmap batching, and the flat grid
+    also avoids the lifted batch dimension entirely — same move as the
+    smooth+NMS batch flatten in ops/decode.py)."""
+    from tfpose_tpu.ops.pallas.paf_score import (
+        HPAD, LANES, paf_sample_scores_pallas)
+
+    b, h8, w8, _ = paf8_b.shape
+    fy, fx = up_h // h8, up_w // w8
+    vx, vy, norm, safe, av, bv, flat = jax.vmap(
+        lambda pk: _candidate_geometry(pk, up_h, up_w, params))(peaks_b)
+    k = vx.shape[-1]
+    s = params.step_paf
+    iy8 = (flat // up_w) // fy                     # (B, 19, K, K, S)
+    ix8 = (flat % up_w) // fx
+
+    wpad = ((w8 + 7) // 8) * 8
+    pc = jnp.asarray(paf_channels_array())         # (19, 2)
+    planes = jnp.transpose(paf8_b[:, :, :, pc],
+                           (0, 3, 4, 2, 1))        # (B,19,2,w8,h8)
+    planes = jnp.pad(planes.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, 0), (0, wpad - w8),
+                      (0, HPAD - h8)))
+    planes_t = planes.reshape(b * 19, 2 * wpad, HPAD)
+
+    kk = k * k
+    kk_pad = ((kk + 1023) // 1024) * 1024
+
+    def sample_major(a, fill):           # (B,19,K,K,S)->(B*19,S,KKp)
+        a = jnp.transpose(a, (0, 1, 4, 2, 3)).reshape(b * 19, s, kk)
+        if kk_pad != kk:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, kk_pad - kk)),
+                        constant_values=fill)
+        return a
+
+    vxs = jnp.broadcast_to(vx[..., None], vx.shape + (s,))
+    vys = jnp.broadcast_to(vy[..., None], vy.shape + (s,))
+    nrows = None
+    if prefix_valid:
+        va = jnp.sum(av.astype(jnp.int32), axis=2)          # (B, 19)
+        nrows = jnp.where(jnp.any(bv, axis=2),
+                          (va * k + LANES - 1) // LANES,
+                          0).reshape(b * 19)
+    mean, cnt = paf_sample_scores_pallas(
+        planes_t, sample_major(iy8, 0), sample_major(ix8, 0),
+        sample_major(vxs, 0.0), sample_major(vys, 0.0),
+        s_paf=s, thresh=float(params.thresh_vector_score),
+        nrows=nrows, interpret=interpret)
+    mean = mean[:, :kk].reshape(b, 19, k, k)
+    cnt = cnt[:, :kk].reshape(b, 19, k, k)
+
+    penalty = jnp.minimum(0.0, 0.5 * up_h / jnp.maximum(norm, 1e-12)
+                          - 1.0)
+    criterion2 = mean + penalty
+    ok = ((cnt > params.thresh_vector_cnt1)
+          & (criterion2 > 0.0)
+          & safe
+          & av[..., :, None] & bv[..., None, :])
     return Candidates(score=criterion2, ok=ok)
 
 

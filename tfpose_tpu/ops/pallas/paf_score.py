@@ -49,11 +49,18 @@ WPAD_MAX = 512  # sanity cap for the fitted sublane padding
 LANES = 128
 
 
-def _kernel(planes_ref, iy_ref, ix_ref, vx_ref, vy_ref,
+def _kernel(nrows_ref, planes_ref, iy_ref, ix_ref, vx_ref, vy_ref,
             sum_ref, cnt_ref, *, rows: int, thresh: float,
             s_paf: int, wpad: int):
     """One (pair, sample-index) program over ``rows``*128 candidates.
 
+    nrows_ref: SMEM (P, 1) int32 (whole array, indexed by the pair
+      program id) — number of candidate rows to actually score for
+      this pair. Rows >= nrows hold only candidates whose
+      endpoint validity is False (prefix-valid peak layout), so their
+      scores are dead values downstream; skipping them drops the
+      kernel's matmul count from ``rows`` to ~ceil(n_peaks_a/ (128/K))
+      on real scenes. Pass ``rows`` to score everything.
     planes_ref: (1, 2*wpad, HPAD) TRANSPOSED planes — row w of
       [0, wpad) is x-channel column values P_x[:, w]; rows
       [wpad, 2*wpad) the y-channel. ``wpad`` is the raw plane width
@@ -71,24 +78,25 @@ def _kernel(planes_ref, iy_ref, ix_ref, vx_ref, vy_ref,
         sum_ref[...] = jnp.zeros((rows, LANES), jnp.float32)
         cnt_ref[...] = jnp.zeros((rows, LANES), jnp.float32)
 
+    nr = nrows_ref[pl.program_id(0), 0]            # scalar SMEM load
     planes_t = planes_ref[0]                       # (2*wpad, HPAD)
     hp = jax.lax.Precision.HIGHEST
     sub_h = jax.lax.broadcasted_iota(jnp.int32, (HPAD, LANES), 0)
     sub_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, LANES), 0)
 
-    out_rows = []
     for r in range(rows):
-        iy_row = iy_ref[r:r + 1, :]                # (1, LANES)
-        ix_row = ix_ref[r:r + 1, :]
-        oh_y = (sub_h == iy_row).astype(jnp.float32)   # (HPAD, LANES)
-        sel = jnp.dot(planes_t, oh_y, precision=hp)    # (2*wpad, LANES)
-        oh_x = (sub_w == ix_row).astype(jnp.float32)   # (wpad, LANES)
-        t = (sel[0:wpad, :] * vx_ref[r:r + 1, :]
-             + sel[wpad:2 * wpad, :] * vy_ref[r:r + 1, :]) * oh_x
-        out_rows.append(jnp.sum(t, axis=0, keepdims=True))
-    s_blk = jnp.concatenate(out_rows, axis=0)      # (rows, LANES)
-    sum_ref[...] += s_blk
-    cnt_ref[...] += (s_blk > thresh).astype(jnp.float32)
+        @pl.when(r < nr)
+        def _row(r=r):
+            iy_row = iy_ref[r:r + 1, :]            # (1, LANES)
+            ix_row = ix_ref[r:r + 1, :]
+            oh_y = (sub_h == iy_row).astype(jnp.float32)  # (HPAD, LANES)
+            sel = jnp.dot(planes_t, oh_y, precision=hp)   # (2*wpad, LANES)
+            oh_x = (sub_w == ix_row).astype(jnp.float32)  # (wpad, LANES)
+            t = (sel[0:wpad, :] * vx_ref[r:r + 1, :]
+                 + sel[wpad:2 * wpad, :] * vy_ref[r:r + 1, :]) * oh_x
+            s_row = jnp.sum(t, axis=0, keepdims=True)
+            sum_ref[r:r + 1, :] += s_row
+            cnt_ref[r:r + 1, :] += (s_row > thresh).astype(jnp.float32)
 
 
 @functools.partial(jax.jit,
@@ -97,6 +105,7 @@ def paf_sample_scores_pallas(planes_t: jnp.ndarray, iy: jnp.ndarray,
                              ix: jnp.ndarray, vx: jnp.ndarray,
                              vy: jnp.ndarray, *, s_paf: int,
                              thresh: float,
+                             nrows: jnp.ndarray | None = None,
                              interpret: bool = False):
     """Per-candidate (mean PAF score, #samples above ``thresh``).
 
@@ -104,6 +113,9 @@ def paf_sample_scores_pallas(planes_t: jnp.ndarray, iy: jnp.ndarray,
       wpad a multiple of 8 (fit to the raw plane width).
     iy, ix, vx, vy: (P, S, KK) raw-grid sample coords / per-sample
       direction components; KK must be a multiple of 128.
+    nrows: optional (P,) int32 — per-pair count of 128-candidate rows
+      to score; rows beyond it return 0 mean/cnt (callers use this to
+      skip all-invalid candidate rows — see _kernel docstring).
     Returns (mean, cnt): each (P, KK) fp32.
     """
     assert thresh > 0.0, "lane trick requires a positive threshold"
@@ -113,6 +125,8 @@ def paf_sample_scores_pallas(planes_t: jnp.ndarray, iy: jnp.ndarray,
     wpad2 = planes_t.shape[1]
     assert wpad2 % 16 == 0 and planes_t.shape[2] == HPAD
     wpad = wpad2 // 2
+    if nrows is None:
+        nrows = jnp.full((p,), rows, jnp.int32)
 
     def pack(a, dtype):
         return a.reshape(p * s * rows, LANES).astype(dtype)
@@ -130,6 +144,10 @@ def paf_sample_scores_pallas(planes_t: jnp.ndarray, iy: jnp.ndarray,
                    jax.ShapeDtypeStruct((p * rows, LANES), jnp.float32)),
         grid=grid,
         in_specs=[
+            # whole-array SMEM block (Mosaic rejects 1-element blocked
+            # specs); the kernel indexes it by pair program id
+            pl.BlockSpec((p, 1), lambda pi, si: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2 * wpad, HPAD), lambda pi, si: (pi, 0, 0),
                          memory_space=pltpu.VMEM),
             samp_spec, samp_spec, samp_spec, samp_spec,
@@ -138,8 +156,9 @@ def paf_sample_scores_pallas(planes_t: jnp.ndarray, iy: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(planes_t, jnp.float32), pack(iy, jnp.int32),
-      pack(ix, jnp.int32), pack(vx, jnp.float32),
+    )(jnp.asarray(nrows, jnp.int32).reshape(p, 1),
+      jnp.asarray(planes_t, jnp.float32),
+      pack(iy, jnp.int32), pack(ix, jnp.int32), pack(vx, jnp.float32),
       pack(vy, jnp.float32))
     mean = total.reshape(p, kk) * (1.0 / s_paf)
     return mean, cnt.reshape(p, kk)
