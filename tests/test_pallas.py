@@ -2,6 +2,7 @@
 compiled kernel is verified bit-exact on the TPU by the bench/verify
 flow)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -174,3 +175,50 @@ def test_paf_score_kernel_prefix_valid_row_skip():
                                   np.asarray(full.score)[okm])
     np.testing.assert_allclose(np.asarray(skip.score)[okm],
                                np.asarray(ref.score)[okm], atol=1e-6)
+
+
+def test_paf_score_kernel_batched_flat_grid():
+    """score_candidates_pallas_batch (the production decode_batch path
+    on TPU: ONE flat b*19-pair kernel with per-pair row skipping) must
+    match the per-image kernel and the XLA row-gather reference on
+    every image of a mixed batch (crowded / empty / sparse scenes)."""
+    import jax.numpy as jnp
+
+    from tfpose_tpu.core.config import DecodeParams
+    from tfpose_tpu.ops import nms, paf, resize
+    from tfpose_tpu.ops.gaussian import smooth
+    from tfpose_tpu.utils import synthetic
+
+    params = DecodeParams()
+    k = params.max_peaks
+    h8, w8, up_h, up_w = 46, 54, 184, 216
+    nets = []
+    for seed, n_people in [(0, 4), (1, 0), (2, 1)]:
+        nets.append(synthetic.render_scene(
+            np.random.default_rng(seed), n_people, h8, w8)[0])
+    nets = jnp.asarray(np.stack(nets))
+
+    def peaks_of(net):
+        heat_up = resize.resize_area(net[..., :19], up_h, up_w)
+        pm = nms.nms(smooth(heat_up, params.smooth_kernel_size,
+                            params.smooth_sigma), params.nms_window)
+        return nms.top_peaks(pm, k, params.thresh_heat)
+
+    pk_b = jax.vmap(peaks_of)(nets)
+    pafm_b = nets[..., 19:]
+    got = paf.score_candidates_pallas_batch(pk_b, pafm_b, up_h, up_w,
+                                            params, interpret=True)
+    for i in range(nets.shape[0]):
+        pk_i = jax.tree.map(lambda a: a[i], pk_b)
+        one = paf.score_candidates_pallas(pk_i, pafm_b[i], up_h, up_w,
+                                          params, interpret=True,
+                                          prefix_valid=True)
+        ref = paf.score_candidates(
+            pk_i, resize.resize_area(pafm_b[i], up_h, up_w), params)
+        np.testing.assert_array_equal(np.asarray(got.ok[i]),
+                                      np.asarray(ref.ok))
+        okm = np.asarray(ref.ok)
+        np.testing.assert_array_equal(np.asarray(got.score[i])[okm],
+                                      np.asarray(one.score)[okm])
+        np.testing.assert_allclose(np.asarray(got.score[i])[okm],
+                                   np.asarray(ref.score)[okm], atol=1e-6)
