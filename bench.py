@@ -210,6 +210,10 @@ def main():
             "mobilenet_v2_large", 432, 368, 4.0, 1, 128)
         run("cmu_656x368_b1", bench_config,
             "cmu", 656, 368, 4.0, 1, 32, n_rep=4)
+        # CMU saturates its MXU curve ~b=8 (etcs/architecture.md
+        # roofline table); the batched config is the production one.
+        run("cmu_656x368_b8", bench_config,
+            "cmu", 656, 368, 4.0, 8, 16, n_rep=4)
         # realistic activations (decode is population-dependent)
         run("decode_scene_432x368_b16", bench_decode_realistic)
         ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
