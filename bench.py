@@ -181,16 +181,25 @@ def main():
     results = {}
 
     def run(name, fn, *a, **kw):
-        try:
-            r = fn(*a, **kw)
-            results[name] = r
-            p50 = r.get("device_p50_per_image_ms")
-            print(f"[bench] {name}: {r['per_image_ms']} ms/img "
-                  f"({r['images_per_sec']} img/s, b={r['batch']}, "
-                  f"p50 {p50} ms/img, compile {r['compile_s']}s)",
-                  file=sys.stderr)
-        except Exception as e:
-            print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
+        # One retry: the tunnel's remote-compile service occasionally
+        # drops a response mid-read (INTERNAL: read body ...) or leaves
+        # the next program with a bare FAILED_PRECONDITION; both clear
+        # on a clean re-run (CLAUDE.md).
+        for attempt in (1, 2):
+            try:
+                r = fn(*a, **kw)
+                results[name] = r
+                p50 = r.get("device_p50_per_image_ms")
+                print(f"[bench] {name}: {r['per_image_ms']} ms/img "
+                      f"({r['images_per_sec']} img/s, b={r['batch']}, "
+                      f"p50 {p50} ms/img, compile {r['compile_s']}s)",
+                      file=sys.stderr)
+                return
+            except Exception as e:
+                print(f"[bench] {name} FAILED (attempt {attempt}): {e}",
+                      file=sys.stderr)
+                if attempt == 1:
+                    time.sleep(20)
 
     # All 5 BASELINE.json configs (+ fast preset + realistic-activation
     # configs) run by default; the persistent XLA cache makes repeat
