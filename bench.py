@@ -102,7 +102,7 @@ def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
         from tfpose_tpu.utils.synthetic import random_people, render_image
         frames = []
         for _ in range(min(scans, 16) * batch):
-            people = random_people(rng, int(rng.integers(1, 5)), w, h)
+            people = random_people(rng, int(rng.integers(1, 5)), h, w)
             frames.append(render_image(people, h, w, rng=rng,
                                        joint_radius=6))
         arr = np.stack(frames).reshape(-1, batch, h, w, 3)
@@ -190,9 +190,10 @@ def main():
                 r = fn(*a, **kw)
                 results[name] = r
                 p50 = r.get("device_p50_per_image_ms")
+                p50_txt = f"p50 {p50} ms/img, " if p50 is not None else ""
                 print(f"[bench] {name}: {r['per_image_ms']} ms/img "
                       f"({r['images_per_sec']} img/s, b={r['batch']}, "
-                      f"p50 {p50} ms/img, compile {r['compile_s']}s)",
+                      f"{p50_txt}compile {r['compile_s']}s)",
                       file=sys.stderr)
                 return
             except Exception as e:

@@ -3,9 +3,16 @@
 
 For each config: true on-device p50 of the forward program, per-op
 device durations (top ops by total time), and XLA cost-analysis FLOPs
-/ bytes -> achieved TFLOP/s (vs v5e bf16 peak ~394) and GB/s (vs HBM
-~819 GB/s). This replaces the stale round-1 roofline in
-etcs/architecture.md and gives the first CMU MXU-utilisation number.
+-> achieved TFLOP/s (vs v5e bf16 peak ~394). This replaces the stale
+round-1 roofline in etcs/architecture.md and gives the first CMU
+MXU-utilisation number.
+
+NOTE on bandwidth: `cost_analysis()["bytes accessed"]` OVERCOUNTS HBM
+traffic (it reports more than HBM peak at b=1 — every fusion's
+operands are counted at every use). It is emitted here only as
+`cost_analysis_bytes_gb`, an upper bound for eyeballing; HBM roofline
+claims must use the analytic conv in+out+weights sum (see the
+round-3 roofline in etcs/architecture.md and CLAUDE.md).
 
 Run on TPU: `python scripts/profile_forward.py [quick]`
 """
@@ -27,7 +34,6 @@ from tfpose_tpu.utils.profiling import (
 )
 
 V5E_BF16_TFLOPS = 394.0
-V5E_HBM_GBS = 819.0
 
 
 def profile_forward(model, w, h, batch, dtype=jnp.bfloat16):
@@ -63,10 +69,8 @@ def profile_forward(model, w, h, batch, dtype=jnp.bfloat16):
         "achieved_tflops": round(flops / sec / 1e12, 2),
         "mxu_util_pct": round(flops / sec / 1e12
                               / V5E_BF16_TFLOPS * 100, 1),
-        "bytes_gb": round(bytes_acc / 1e9, 3),
-        "achieved_gbs": round(bytes_acc / 1e9 / sec, 1),
-        "hbm_util_pct": round(bytes_acc / 1e9 / sec
-                              / V5E_HBM_GBS * 100, 1),
+        # upper bound only — NOT a roofline number (see module note)
+        "cost_analysis_bytes_gb": round(bytes_acc / 1e9, 3),
     }
 
     # top device ops by total time (per-op events, not jit_ programs)

@@ -108,3 +108,46 @@ def test_quantized_checkpoint_passes_e2e_gate():
         "--model", "mobilenet_thin", "--resize", "160x160",
         "--synthetic-e2e", "8", "--params", _CKPT, "--quantize"])
     assert res["AP50"] >= 0.6, res
+
+
+def test_storage_quantize_roundtrip():
+    """convert/quantize.py (checkpoint STORAGE quantization — distinct
+    from the int8 PTQ inference path above): int8 weight-only pack /
+    unpack of a real params tree must keep kernels within ~1% relative
+    L2 (the models/README.md contract), leave vectors (biases, BN
+    stats) bit-exact fp32, and cast_params must touch only >=2-D
+    leaves."""
+    from tfpose_tpu.convert.quantize import (
+        cast_params,
+        dequantize_params,
+        quantization_error,
+        quantize_params,
+    )
+
+    net = get_network("mobilenet_thin")
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 3), jnp.float32),
+                         train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+
+    packed = quantize_params(params)
+    restored = dequantize_params(packed)
+
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(restored)[0])
+    assert set(flat_r) == {p for p, _ in flat_p}
+    for path, leaf in flat_p:
+        got = np.asarray(flat_r[path], np.float32)
+        leaf = np.asarray(leaf, np.float32)
+        if leaf.ndim >= 2:  # kernels: int8 roundtrip error bound
+            denom = np.linalg.norm(leaf) + 1e-12
+            assert np.linalg.norm(leaf - got) / denom < 0.01, path
+        else:  # vectors stay untouched fp32
+            np.testing.assert_array_equal(leaf, got, err_msg=str(path))
+
+    assert quantization_error(params) < 0.01
+
+    cast = cast_params(params, jnp.bfloat16)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(cast)[0]:
+        want = jnp.bfloat16 if np.ndim(leaf) >= 2 else np.float32
+        assert np.asarray(leaf).dtype == want, path

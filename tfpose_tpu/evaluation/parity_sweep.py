@@ -118,7 +118,12 @@ def _cap_peaks(peaks: np.ndarray, k: int) -> np.ndarray:
         plane = peaks[:, :, p]
         ys, xs = np.nonzero(plane > 0)
         if len(ys) > k:
-            order = np.argsort(plane[ys, xs])[::-1][:k]
+            # tie-break like the production top-K (smooth_nms.py
+            # _topk_rounds): lowest flat index among equal scores.
+            # nonzero() yields flat-ascending order; a STABLE sort on
+            # -score preserves it within ties ([::-1] of an ascending
+            # sort would prefer the HIGHEST index instead).
+            order = np.argsort(-plane[ys, xs], kind="stable")[:k]
             ys, xs = ys[order], xs[order]
         out[ys, xs, p] = plane[ys, xs]
     return out
@@ -314,7 +319,7 @@ def run_ckpt_sweep(n_scenes: int, params_path: str,
     stats = SweepStats()
     for idx in range(n_scenes):
         rng = np.random.default_rng(seed0 + idx)
-        people = random_people(rng, int(rng.integers(1, 5)), w, h)
+        people = random_people(rng, int(rng.integers(1, 5)), h, w)
         img = render_image(people, h, w, rng=rng, joint_radius=6)
         out = np.asarray(fwd(jnp.asarray(img)), np.float32)
         ref = _oracle_humans(out, DEFAULT, up_h, up_w)

@@ -91,7 +91,8 @@ def decode(net_out: jnp.ndarray, up_h: int, up_w: int,
     heat = net_out[..., :NUM_HEATMAP_CH]
     pafm = net_out[..., NUM_HEATMAP_CH:]
     h8, w8 = pafm.shape[0], pafm.shape[1]
-    if can_use_phase_kernel(h8, w8, up_h, up_w):
+    if can_use_phase_kernel(h8, w8, up_h, up_w,
+                            params.smooth_kernel_size):
         # integer upsample: blur/NMS/top-K phase-decomposed on the raw
         # planes — the upsampled heat map never materialises
         scores, idx = smooth_nms_topk_raw_pallas(
@@ -153,7 +154,8 @@ def decode_batch(net_out: jnp.ndarray, up_h: int, up_w: int,
     # grid: c_blk grows 6 -> 8 and the program count drops, amortising
     # launch/DMA and widening the per-round reduction ILP in the
     # top-K loop
-    if can_use_phase_kernel(h8, w8, up_h, up_w):
+    if can_use_phase_kernel(h8, w8, up_h, up_w,
+                            params.smooth_kernel_size):
         hb = jnp.transpose(net_out[..., :NUM_PARTS],
                            (1, 2, 0, 3)).reshape(h8, w8, -1)
         s, i = smooth_nms_topk_raw_pallas(

@@ -162,70 +162,16 @@ def score_candidates_pallas(peaks: Peaks, paf8: jnp.ndarray,
     invalid. Scores of invalid candidates become 0+penalty instead of
     their sampled value, which is unobservable downstream (`ok` is
     False there and greedy/assembly never read not-ok scores).
+
+    Implemented as the B=1 slice of
+    :func:`score_candidates_pallas_batch` so the plane-packing /
+    tile-padding / row-skip logic exists exactly once.
     """
-    from tfpose_tpu.ops.pallas.paf_score import (
-        HPAD, paf_sample_scores_pallas)
-
-    h8, w8, _ = paf8.shape
-    fy, fx = up_h // h8, up_w // w8
-    vx, vy, norm, safe, av, bv, flat = _candidate_geometry(
-        peaks, up_h, up_w, params)
-    k = vx.shape[-1]
-    s = params.step_paf
-    iy8 = (flat // up_w) // fy                     # (19, K, K, S)
-    ix8 = (flat % up_w) // fx
-
-    # per-pair x/y channel planes, zero-padded and TRANSPOSED to the
-    # kernel layout (W on sublanes, H on lanes). W pads only to the
-    # next sublane multiple — the kernel's row-select matmul cost
-    # scales with the padded width, so a fixed 128 wastes ~2.3x MXU
-    # work at thin's w8=54.
-    wpad = ((w8 + 7) // 8) * 8
-    pc = jnp.asarray(paf_channels_array())         # (19, 2)
-    planes = jnp.transpose(paf8[:, :, pc], (2, 3, 1, 0))  # (19,2,w8,h8)
-    planes = jnp.pad(planes.astype(jnp.float32),
-                     ((0, 0), (0, 0), (0, wpad - w8), (0, HPAD - h8)))
-    planes_t = planes.reshape(19, 2 * wpad, HPAD)
-
-    # pad the candidate axis to full (8, 128) VMEM tiles — small K
-    # (e.g. the fast preset's 16 -> K*K=256) would otherwise give
-    # partial-sublane blocks that Mosaic rejects. Pad samples point at
-    # (0, 0) with zero direction, so their scores/counts are exactly 0
-    # and are sliced off before reshape.
-    kk = k * k
-    kk_pad = ((kk + 1023) // 1024) * 1024
-
-    def sample_major(a, fill):                 # (19,K,K,S)->(19,S,KKp)
-        a = jnp.transpose(a, (0, 3, 1, 2)).reshape(19, s, kk)
-        if kk_pad != kk:
-            a = jnp.pad(a, ((0, 0), (0, 0), (0, kk_pad - kk)),
-                        constant_values=fill)
-        return a
-
-    vxs = jnp.broadcast_to(vx[..., None], vx.shape + (s,))
-    vys = jnp.broadcast_to(vy[..., None], vy.shape + (s,))
-    nrows = None
-    if prefix_valid:
-        from tfpose_tpu.ops.pallas.paf_score import LANES
-        va = jnp.sum(av.astype(jnp.int32), axis=1)      # (19,)
-        nrows = jnp.where(jnp.any(bv, axis=1),
-                          (va * k + LANES - 1) // LANES, 0)
-    mean, cnt = paf_sample_scores_pallas(
-        planes_t, sample_major(iy8, 0), sample_major(ix8, 0),
-        sample_major(vxs, 0.0), sample_major(vys, 0.0),
-        s_paf=s, thresh=float(params.thresh_vector_score),
-        nrows=nrows, interpret=interpret)
-    mean = mean[:, :kk].reshape(19, k, k)
-    cnt = cnt[:, :kk].reshape(19, k, k)
-
-    penalty = jnp.minimum(0.0, 0.5 * up_h / jnp.maximum(norm, 1e-12)
-                          - 1.0)
-    criterion2 = mean + penalty
-    ok = ((cnt > params.thresh_vector_cnt1)
-          & (criterion2 > 0.0)
-          & safe
-          & av[:, :, None] & bv[:, None, :])
-    return Candidates(score=criterion2, ok=ok)
+    out = score_candidates_pallas_batch(
+        jax.tree.map(lambda a: a[None], peaks), paf8[None],
+        up_h, up_w, params, interpret=interpret,
+        prefix_valid=prefix_valid)
+    return Candidates(score=out.score[0], ok=out.ok[0])
 
 
 def score_candidates_pallas_batch(peaks_b: Peaks, paf8_b: jnp.ndarray,
