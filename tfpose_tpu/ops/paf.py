@@ -197,6 +197,11 @@ def score_candidates_pallas_batch(peaks_b: Peaks, paf8_b: jnp.ndarray,
     iy8 = (flat // up_w) // fy                     # (B, 19, K, K, S)
     ix8 = (flat % up_w) // fx
 
+    # per-pair x/y channel planes, zero-padded and TRANSPOSED to the
+    # kernel layout (W on sublanes, H on lanes). W pads only to the
+    # next sublane multiple — the kernel's row-select matmul cost
+    # scales with the padded width, so a fixed 128 would waste ~2.3x
+    # MXU work at thin's w8=54.
     wpad = ((w8 + 7) // 8) * 8
     pc = jnp.asarray(paf_channels_array())         # (19, 2)
     planes = jnp.transpose(paf8_b[:, :, :, pc],
@@ -206,6 +211,11 @@ def score_candidates_pallas_batch(peaks_b: Peaks, paf8_b: jnp.ndarray,
                       (0, HPAD - h8)))
     planes_t = planes.reshape(b * 19, 2 * wpad, HPAD)
 
+    # pad the candidate axis to full (8, 128) VMEM tiles — small K
+    # (e.g. the fast preset's 16 -> K*K=256) would otherwise give
+    # partial-sublane blocks that Mosaic rejects. Pad samples point at
+    # (0, 0) with zero direction, so their scores/counts are exactly 0
+    # and are sliced off before reshape.
     kk = k * k
     kk_pad = ((kk + 1023) // 1024) * 1024
 
