@@ -28,12 +28,18 @@ def main(argv=None):
     parser.add_argument("--resize-out-ratio", type=float, default=4.0)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=5555)
+    parser.add_argument("--max-batch", type=int, default=1,
+                        help=">1 coalesces concurrent requests into "
+                             "one device batch (dynamic batching)")
+    parser.add_argument("--max-wait-ms", type=float, default=5.0)
     args = parser.parse_args(argv)
 
     w, h = model_wh(args.resolution)
     e = TfPoseEstimator(args.model, target_size=(w, h))
     svc = PoseService(e, host=args.host, port=args.port,
-                      upsample_size=args.resize_out_ratio)
+                      upsample_size=args.resize_out_ratio,
+                      max_batch=args.max_batch,
+                      max_wait_ms=args.max_wait_ms)
     svc.start()
     logger.info("broadcasting pose estimation on %s:%d", *svc.address)
     signal.sigwait([signal.SIGINT, signal.SIGTERM])

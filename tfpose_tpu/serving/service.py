@@ -57,9 +57,16 @@ class PoseService:
     """TCP server around a TfPoseEstimator."""
 
     def __init__(self, estimator, host: str = "127.0.0.1", port: int = 0,
-                 upsample_size: float = 4.0):
+                 upsample_size: float = 4.0, max_batch: int = 1,
+                 max_wait_ms: float = 5.0):
         self.estimator = estimator
         self.ratio = upsample_size
+        self._batcher = None
+        if max_batch > 1:
+            from tfpose_tpu.serving.batcher import DynamicBatcher
+            self._batcher = DynamicBatcher(
+                estimator, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                upsample_size=upsample_size)
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -87,8 +94,12 @@ class PoseService:
         img = _decode_payload(payload)
         if img is None:
             return {"error": "bad payload (tag must be 'J' or 'R')"}
-        humans = self.estimator.inference(
-            img, resize_to_default=True, upsample_size=self.ratio)
+        if self._batcher is not None:
+            # concurrent client threads coalesce into one device batch
+            humans = self._batcher.submit(img).result()
+        else:
+            humans = self.estimator.inference(
+                img, resize_to_default=True, upsample_size=self.ratio)
         msg = humans_to_msg(humans, img.shape[1], img.shape[0])
         return msg.to_dict()
 
@@ -102,6 +113,8 @@ class PoseService:
     def stop(self):
         self._server.shutdown()
         self._server.server_close()
+        if self._batcher is not None:
+            self._batcher.stop()
 
 
 class PoseClient:

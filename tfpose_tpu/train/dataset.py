@@ -224,14 +224,12 @@ class PoseDataset:
         self.paf_threshold = paf_threshold
         self.rng = np.random.default_rng(seed)
 
-    def _load_one(self, ann: Annotation):
+    def _prepare(self, img: np.ndarray, joints: np.ndarray):
+        """Augment (or fixed-resize) + rasterise stride-8 targets —
+        shared by the json/file path and the Datum-record path
+        (:mod:`tfpose_tpu.train.lmdb_dataset`)."""
         from tfpose_tpu.train import augment as aug
-        from tfpose_tpu.utils.imload import read_imgfile
 
-        img = read_imgfile(ann.img_path, None, None)
-        if img is None:
-            img = np.zeros((ann.height, ann.width, 3), np.uint8)
-        joints = ann.joints.copy()
         if self.augment:
             img, joints = aug.augment(img, joints, self.input_wh, self.rng)
         else:
@@ -242,6 +240,14 @@ class PoseDataset:
         paf = get_vectormap(joints / 8.0, hs, ws,
                             threshold=self.paf_threshold)
         return img, heat, paf
+
+    def _load_one(self, ann: Annotation):
+        from tfpose_tpu.utils.imload import read_imgfile
+
+        img = read_imgfile(ann.img_path, None, None)
+        if img is None:
+            img = np.zeros((ann.height, ann.width, 3), np.uint8)
+        return self._prepare(img, ann.joints.copy())
 
     def __iter__(self) -> Iterator[dict]:
         order = self.rng.permutation(len(self.anns))

@@ -78,6 +78,10 @@ def main(argv=None):
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument("--coco-json", type=str, default="")
     parser.add_argument("--img-dir", type=str, default="")
+    parser.add_argument("--datum-shard", type=str, default="",
+                        help="train from a Caffe-Datum record shard "
+                             "(legacy LMDB path; reference datum_pb2 "
+                             "-- see train/lmdb_dataset.py)")
     parser.add_argument("--no-augment", action="store_true",
                         help="disable the pose_augment chain (fixed "
                              "resize only)")
@@ -157,6 +161,18 @@ def main(argv=None):
                  for hp in args.remote_data.split(",")]
         batches = iter(RemoteBatches(addrs))
         logger.info("consuming remote batches from %s", addrs)
+    elif args.datum_shard:
+        from tfpose_tpu.train.lmdb_dataset import (
+            DatumPoseDataset, DatumShardReader)
+        reader = DatumShardReader(args.datum_shard)
+        logger.info("%d datum records", len(reader))
+
+        def datum_epochs():
+            while True:
+                yield from DatumPoseDataset(
+                    reader, input_size=(w, h), batch_size=args.batchsize,
+                    augment=not args.no_augment)
+        batches = datum_epochs()
     elif args.synthetic or not args.coco_json:
         if args.device_targets:
             batches = synthetic_joint_batches(args.batchsize, (w, h), rng)
