@@ -102,3 +102,34 @@ def test_load_coco_annotations(tmp_path):
     assert len(anns) == 1
     assert anns[0].width == 100
     assert anns[0].joints.shape == (1, 18, 2)
+
+
+def test_pose_dataset_seed_varies_epochs(tmp_path):
+    """Different seeds must produce different augmentations/order —
+    train.py advances the seed per epoch so epochs don't replay
+    identical batches (a fixed seed silently killed augmentation
+    diversity across epochs)."""
+    import cv2
+
+    from tfpose_tpu.train.dataset import Annotation, PoseDataset
+    from tfpose_tpu.utils import synthetic
+
+    rng = np.random.default_rng(0)
+    anns = []
+    for i in range(4):
+        people = synthetic.random_people(
+            rng, 2, 64, 64, template=synthetic.SPREAD_TEMPLATE)
+        img = synthetic.render_image(people, 64, 64, rng)
+        p = str(tmp_path / f"e{i}.png")
+        cv2.imwrite(p, img)
+        anns.append(Annotation(img_path=p, width=64, height=64,
+                               joints=people.astype(np.float64)))
+
+    kw = dict(input_size=(64, 64), batch_size=4, augment=True)
+    b0 = next(iter(PoseDataset(anns, seed=0, **kw)))
+    b0_again = next(iter(PoseDataset(anns, seed=0, **kw)))
+    b1 = next(iter(PoseDataset(anns, seed=1, **kw)))
+    # deterministic per seed...
+    np.testing.assert_array_equal(b0["image"], b0_again["image"])
+    # ...but different across seeds (epochs)
+    assert not np.array_equal(b0["image"], b1["image"])

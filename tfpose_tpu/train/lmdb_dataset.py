@@ -78,8 +78,7 @@ def pack_datum(img_bgr: np.ndarray, joints: np.ndarray,
         raise ValueError("joints must be (n_people, 18, 2)")
     d.label = int(joints.shape[0]) if joints.size else 0
     d.float_data.append(float(joints.shape[0] if joints.size else 0))
-    d.float_data.extend(np.nan_to_num(
-        joints, nan=float("nan")).ravel().tolist())
+    d.float_data.extend(joints.ravel().tolist())  # NaN survives proto
     return d
 
 

@@ -118,20 +118,47 @@ PART_PALETTE = _part_palette()
 
 def render_image(people: np.ndarray, img_h: int, img_w: int,
                  rng: np.random.Generator | None = None,
-                 joint_radius: int = 3) -> np.ndarray:
+                 joint_radius: int = 3, *,
+                 background: tuple | None = None,
+                 limb_color: tuple | int = 80,
+                 limb_halfwidth: float = 1.0,
+                 head_radius: int = 0,
+                 head_color: tuple = (200, 176, 168)) -> np.ndarray:
     """Render a synthetic training/eval IMAGE (uint8 (H, W, 3)):
     part-colour-coded joint discs + grey limb segments on a dark
     noisy background. People coords are in image pixels.
 
     This is the supervised-learnable counterpart of the heatmap/PAF
     target renderers above: the joint colours make parts identifiable,
-    the limb lines give the PAF branch direction evidence."""
-    if rng is not None:
+    the limb lines give the PAF branch direction evidence.
+
+    The keyword-only style knobs default to the historical appearance
+    (the committed checkpoints/golden fixtures depend on it, pixel for
+    pixel); non-default values render the brighter "sample photo"
+    style of ``images/p*.jpg`` (solid light background, thick limbs,
+    big joint discs, a head disc) — see :func:`random_style`."""
+    if background is not None:
+        img = np.empty((img_h, img_w, 3), np.uint8)
+        img[:] = np.asarray(background, np.uint8)
+    elif rng is not None:
         img = rng.integers(0, 25, (img_h, img_w, 3)).astype(np.uint8)
     else:
         img = np.zeros((img_h, img_w, 3), np.uint8)
     pairs = pairs_array()
-    yy, xx = np.mgrid[0:img_h, 0:img_w]
+
+    def box(lo_x, hi_x, lo_y, hi_y, margin):
+        # integer pixel window covering [lo - margin, hi + margin];
+        # restricting the mask evaluation to it is exact (pixels
+        # outside cannot satisfy the distance condition)
+        x0 = max(0, int(np.floor(lo_x - margin)))
+        x1 = min(img_w, int(np.ceil(hi_x + margin)) + 1)
+        y0 = max(0, int(np.floor(lo_y - margin)))
+        y1 = min(img_h, int(np.ceil(hi_y + margin)) + 1)
+        if x0 >= x1 or y0 >= y1:
+            return None
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        return (slice(y0, y1), slice(x0, x1)), yy, xx
+
     for person in people:
         # limbs (skip the redundant ear<->shoulder pairs 17, 18)
         for pid in range(17):
@@ -142,17 +169,57 @@ def render_image(people: np.ndarray, img_h: int, img_w: int,
             norm = np.hypot(d[0], d[1])
             if norm < 1e-6:
                 continue
+            win = box(min(a[0], b[0]), max(a[0], b[0]),
+                      min(a[1], b[1]), max(a[1], b[1]), limb_halfwidth)
+            if win is None:
+                continue
+            sl, yy, xx = win
             t = np.clip(((xx - a[0]) * d[0] + (yy - a[1]) * d[1])
                         / (norm * norm), 0.0, 1.0)
             dist = np.hypot(xx - a[0] - t * d[0], yy - a[1] - t * d[1])
-            img[dist <= 1.0] = 80
+            img[sl][dist <= limb_halfwidth] = limb_color
+        if head_radius > 0:
+            # head disc under the face parts (nose/eyes/ears), sample-
+            # photo style; centred on the mean of the present ones
+            face = person[[0, 14, 15, 16, 17]]
+            face = face[np.isfinite(face[:, 0])]
+            if len(face):
+                cx, cy = face.mean(axis=0)
+                win = box(cx, cx, cy, cy, head_radius)
+                if win is not None:
+                    sl, yy, xx = win
+                    mask = ((xx - cx) ** 2 + (yy - cy) ** 2
+                            <= head_radius ** 2)
+                    img[sl][mask] = head_color
         for part in range(NUM_PARTS):
             px, py = person[part]
             if np.isnan(px):
                 continue
+            win = box(px, px, py, py, joint_radius)
+            if win is None:
+                continue
+            sl, yy, xx = win
             mask = (xx - px) ** 2 + (yy - py) ** 2 <= joint_radius ** 2
-            img[mask] = PART_PALETTE[part]
+            img[sl][mask] = PART_PALETTE[part]
     return img
+
+
+def random_style(rng: np.random.Generator) -> dict:
+    """Sample render_image style kwargs for domain-randomised training:
+    half the draws keep the historical dark-noise look, half render the
+    bright "sample photo" look (solid light background, thicker grey
+    limbs, bigger discs, head disc) so one checkpoint generalises to
+    both — in particular to the committed ``images/p*.jpg`` demos."""
+    if rng.uniform() < 0.5:
+        return {"joint_radius": int(rng.integers(3, 6))}
+    g = int(rng.integers(40, 96))
+    return {
+        "background": tuple(int(v) for v in rng.integers(170, 235, 3)),
+        "limb_color": (g, g, g),
+        "limb_halfwidth": float(rng.uniform(1.5, 4.0)),
+        "joint_radius": int(rng.integers(5, 10)),
+        "head_radius": int(rng.integers(0, 22)),
+    }
 
 
 def render_heatmap(people: np.ndarray, h: int, w: int,

@@ -18,7 +18,8 @@ logger = logging.getLogger("tfpose_tpu.train")
 logging.basicConfig(level=logging.INFO)
 
 
-def synthetic_joint_batches(batch_size, wh, rng, max_people=8):
+def synthetic_joint_batches(batch_size, wh, rng, max_people=8,
+                            style_randomize=False):
     """Stream of {'image', 'joints'} batches for --device-targets."""
     from tfpose_tpu.pipeline.preprocess import normalize
     from tfpose_tpu.utils import synthetic
@@ -30,7 +31,9 @@ def synthetic_joint_batches(batch_size, wh, rng, max_people=8):
             n = int(rng.integers(1, 4))
             people = synthetic.random_people(
                 rng, n, h, w, template=synthetic.SPREAD_TEMPLATE)
-            img = synthetic.render_image(people, h, w, rng)
+            style = (synthetic.random_style(rng)
+                     if style_randomize else {})
+            img = synthetic.render_image(people, h, w, rng, **style)
             padded = np.full((max_people, 18, 2), np.nan, np.float32)
             padded[:n] = people / 8.0  # stride-8 coords
             imgs.append(np.asarray(normalize(img)))
@@ -38,7 +41,8 @@ def synthetic_joint_batches(batch_size, wh, rng, max_people=8):
         yield {"image": np.stack(imgs), "joints": np.stack(joints)}
 
 
-def synthetic_batches(batch_size, wh, rng, sigma=8.0):
+def synthetic_batches(batch_size, wh, rng, sigma=8.0,
+                      style_randomize=False):
     """Endless stream of rendered scenes as training batches: part-
     colour-coded joint images (same convention the e2e eval gate
     renders) with stride-8 heatmap/PAF targets."""
@@ -54,7 +58,9 @@ def synthetic_batches(batch_size, wh, rng, sigma=8.0):
             n = int(rng.integers(1, 4))
             people = synthetic.random_people(
                 rng, n, h, w, template=synthetic.SPREAD_TEMPLATE)
-            img = synthetic.render_image(people, h, w, rng)
+            style = (synthetic.random_style(rng)
+                     if style_randomize else {})
+            img = synthetic.render_image(people, h, w, rng, **style)
             heat = get_heatmap(people / 8.0, hs, ws, sigma=sigma / 8.0)
             paf = get_vectormap(people / 8.0, hs, ws, threshold=1.0)
             imgs.append(np.asarray(normalize(img)))
@@ -86,6 +92,10 @@ def main(argv=None):
                         help="disable the pose_augment chain (fixed "
                              "resize only)")
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--style-randomize", action="store_true",
+                        help="domain-randomise the synthetic render "
+                             "style (dark-noise AND bright sample-"
+                             "photo looks; see synthetic.random_style)")
     parser.add_argument("--device-targets", action="store_true",
                         help="rasterise heatmap/PAF targets on device "
                              "inside the jitted step (host ships joint "
@@ -168,16 +178,24 @@ def main(argv=None):
         logger.info("%d datum records", len(reader))
 
         def datum_epochs():
+            ep = 0
             while True:
+                # advance the seed per epoch: a fixed seed would replay
+                # identical augmentations/order every pass
                 yield from DatumPoseDataset(
                     reader, input_size=(w, h), batch_size=args.batchsize,
-                    augment=not args.no_augment)
+                    augment=not args.no_augment, seed=ep)
+                ep += 1
         batches = datum_epochs()
     elif args.synthetic or not args.coco_json:
         if args.device_targets:
-            batches = synthetic_joint_batches(args.batchsize, (w, h), rng)
+            batches = synthetic_joint_batches(
+                args.batchsize, (w, h), rng,
+                style_randomize=args.style_randomize)
         else:
-            batches = synthetic_batches(args.batchsize, (w, h), rng)
+            batches = synthetic_batches(
+                args.batchsize, (w, h), rng,
+                style_randomize=args.style_randomize)
     else:
         from tfpose_tpu.train.dataset import (
             PoseDataset, load_coco_annotations)
@@ -185,9 +203,14 @@ def main(argv=None):
         logger.info("%d annotated images", len(anns))
 
         def epochs():
+            ep = 0
             while True:
+                # advance the seed per epoch: a fixed seed would replay
+                # identical augmentations/order every pass
                 yield from PoseDataset(anns, (w, h), args.batchsize,
-                                       augment=not args.no_augment)
+                                       augment=not args.no_augment,
+                                       seed=ep)
+                ep += 1
         batches = epochs()
 
     from tfpose_tpu.train.summaries import (
