@@ -55,8 +55,14 @@ def make_train_step(model, tx: optax.GradientTransformation,
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        image = batch["image"]
+        if image.dtype == jnp.uint8:
+            # uint8 feed: frames ship at 1/4 the bytes and normalize
+            # ON DEVICE (the estimator's device-preprocess convention;
+            # pipeline/preprocess.normalize semantics)
+            image = image.astype(jnp.float32) / 256.0 - 0.5
         out, mutated = model.apply(
-            variables, batch["image"], train=True,
+            variables, image, train=True,
             mutable=["batch_stats"] if batch_stats else [])
         if rasterize:
             from tfpose_tpu.train.targets_jax import batch_targets

@@ -19,8 +19,12 @@ logging.basicConfig(level=logging.INFO)
 
 
 def synthetic_joint_batches(batch_size, wh, rng, max_people=8,
-                            style_randomize=False):
-    """Stream of {'image', 'joints'} batches for --device-targets."""
+                            style_randomize=False, uint8_feed=False):
+    """Stream of {'image', 'joints'} batches for --device-targets.
+
+    ``uint8_feed`` ships raw uint8 frames (1/4 the bytes; the train
+    step normalizes on device) — through the dev tunnel the image
+    upload dominates the step wall, so this is ~3x end-to-end."""
     from tfpose_tpu.pipeline.preprocess import normalize
     from tfpose_tpu.utils import synthetic
 
@@ -36,7 +40,8 @@ def synthetic_joint_batches(batch_size, wh, rng, max_people=8,
             img = synthetic.render_image(people, h, w, rng, **style)
             padded = np.full((max_people, 18, 2), np.nan, np.float32)
             padded[:n] = people / 8.0  # stride-8 coords
-            imgs.append(np.asarray(normalize(img)))
+            imgs.append(img if uint8_feed
+                        else np.asarray(normalize(img)))
             joints.append(padded)
         yield {"image": np.stack(imgs), "joints": np.stack(joints)}
 
@@ -96,6 +101,11 @@ def main(argv=None):
                         help="domain-randomise the synthetic render "
                              "style (dark-noise AND bright sample-"
                              "photo looks; see synthetic.random_style)")
+    parser.add_argument("--uint8-feed", action="store_true",
+                        help="ship raw uint8 frames and normalize on "
+                             "device (1/4 the host->device bytes)")
+    parser.add_argument("--prefetch", type=int, default=2,
+                        help="host-side batch prefetch depth (0 = off)")
     parser.add_argument("--device-targets", action="store_true",
                         help="rasterise heatmap/PAF targets on device "
                              "inside the jitted step (host ships joint "
@@ -191,11 +201,16 @@ def main(argv=None):
         if args.device_targets:
             batches = synthetic_joint_batches(
                 args.batchsize, (w, h), rng,
-                style_randomize=args.style_randomize)
+                style_randomize=args.style_randomize,
+                uint8_feed=args.uint8_feed)
         else:
             batches = synthetic_batches(
                 args.batchsize, (w, h), rng,
                 style_randomize=args.style_randomize)
+        if args.prefetch:
+            from tfpose_tpu.train.dataset import PrefetchIterator
+            batches = iter(PrefetchIterator(batches,
+                                            depth=args.prefetch))
     else:
         from tfpose_tpu.train.dataset import (
             PoseDataset, load_coco_annotations)
