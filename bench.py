@@ -1,6 +1,8 @@
 #!/usr/bin/env python
-"""Benchmark harness. Prints ONE JSON line on stdout; per-config detail
-goes to stderr.
+"""Benchmark harness. Prints the summary JSON line on stdout (flushed
+once after the headline configs and again, complete, at the end — so a
+mid-run kill still leaves a parseable record); per-config detail goes
+to stderr.
 
 Headline (BASELINE.json): images/sec/chip at MobileNet-thin 432x368
 multi-person with fused decode + p50 e2e latency. The TF1-reference CPU
@@ -18,10 +20,18 @@ Two independent measurements are therefore reported per config:
   scan lengths (cancelling the tunnel's fixed per-call cost). b=1
   configs use S=128 so slope jitter is <2% (at S=32 the tunnel's
   per-call jitter put ±0.3 ms on b=1 slopes — round-2 verdict).
-* **true device p50** (``device_p50_ms``): the median on-device
-  execution time of ONE invocation of the jitted program, read from the
-  device lane of a ``jax.profiler`` trace — an honest per-program
-  latency, immune to tunnel RTT (utils/profiling.device_p50_ms).
+* **device p50 per image** (``device_p50_per_image_ms``): the median
+  on-device execution time of the ALREADY-COMPILED scan program, read
+  from the device lane of a ``jax.profiler`` trace, divided by the
+  number of scanned images — per-scan-iteration device time, immune to
+  tunnel RTT. (Round 3 compiled a SECOND single-image program per
+  config for this; two compiles x 9 configs blew the driver's timeout
+  — BENCH_r03.json rc=124. One compile per config now.)
+
+Budget control: ``TFPOSE_BENCH_DEADLINE_S`` (default 1200 s) is a
+global wall-clock deadline; configs that would start after it are
+skipped, and the summary JSON is re-flushed to stdout after every
+completed config so even a kill mid-run leaves a parseable record.
 
 Decode cost depends on peak population, so alongside the random-noise
 configs (worst case) the harness benches decode on REALISTIC
@@ -38,6 +48,16 @@ import time
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 5.0  # reconstructed TF1 CPU reference (BASELINE.md)
+
+_T0 = time.perf_counter()
+
+
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def _deadline_s():
+    return float(os.environ.get("TFPOSE_BENCH_DEADLINE_S", 1200))
 
 
 def _slope_timer(many, xs, scans, batch, n_rep):
@@ -59,6 +79,28 @@ def _slope_timer(many, xs, scans, batch, n_rep):
     return t_full / (scans * batch) * 1e3
 
 
+def _scan_device_p50_per_image_ms(many, xs, scans, batch, n_runs=12):
+    """Per-image on-device time of the already-compiled scan program:
+    p50 of the program's device-lane duration over n_runs invocations,
+    divided by scans*batch. No second compile (round-3 verdict #1)."""
+    import shutil
+
+    from tfpose_tpu.utils.profiling import (device_event_durations_ms,
+                                            trace)
+
+    log_dir = "/tmp/tfpose_tpu_bench_p50"
+    shutil.rmtree(log_dir, ignore_errors=True)
+    with trace(log_dir):
+        for _ in range(n_runs):
+            np.asarray(many(xs))
+    durs = device_event_durations_ms(log_dir)
+    jit_events = [v for k, v in durs.items() if k.startswith("jit_")]
+    if not jit_events:
+        raise RuntimeError(f"no jit_ device events in {log_dir}")
+    runs = max(jit_events, key=len)  # the traced program dominates
+    return float(np.percentile(runs, 50)) / (scans * batch)
+
+
 def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
                  n_rep=6, fast=False, params_path=None,
                  scene_images=False, measure_p50=True):
@@ -72,7 +114,6 @@ def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
     from tfpose_tpu.models import get_network
     from tfpose_tpu.ops.decode import decode_batch
     from tfpose_tpu.pipeline.preprocess import normalize
-    from tfpose_tpu.utils.profiling import device_p50_ms
 
     net = get_network(model, dtype=jnp.bfloat16 if dtype == "bfloat16"
                       else jnp.float32)
@@ -121,11 +162,8 @@ def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
               "batch": batch, "compile_s": round(compile_s, 1)}
 
     if measure_p50:
-        # true single-invocation on-device latency of the e2e program
-        single = jax.jit(body)
-        p50 = device_p50_ms(single, (xs[0],))
-        result["device_p50_ms"] = round(p50, 4)
-        result["device_p50_per_image_ms"] = round(p50 / batch, 4)
+        p50 = _scan_device_p50_per_image_ms(many, xs, scans, batch)
+        result["device_p50_per_image_ms"] = round(p50, 4)
     return result
 
 
@@ -179,8 +217,45 @@ def main():
     enable_compilation_cache()
 
     results = {}
+    skipped = []
+
+    def emit():
+        """Print the summary JSON (complete record of what has finished
+        so far). Called after every completed config and again at the
+        very end, so a driver-side kill mid-run still leaves a
+        parseable line (round-3 verdict #1: BENCH_r03 rc=124,
+        parsed null)."""
+        head = results.get("thin_432x368_b1")
+        if head is None:
+            line = {"metric": "error", "value": 0,
+                    "unit": "images/sec", "vs_baseline": 0}
+        else:
+            batched = results.get("thin_432x368_b16", head)
+            line = {
+                "metric": "images_per_sec_per_chip_mobilenet_thin_432x368",
+                "value": head["images_per_sec"],
+                "unit": "images/sec",
+                "vs_baseline": round(
+                    head["images_per_sec"] / BASELINE_IMAGES_PER_SEC, 2),
+                "p50_latency_ms": head.get("device_p50_per_image_ms",
+                                           head["per_image_ms"]),
+                "throughput_slope_ms": head["per_image_ms"],
+                "batched_images_per_sec": batched["images_per_sec"],
+                "elapsed_s": round(_elapsed(), 1),
+                "skipped": skipped,
+                "configs": results,
+            }
+        print(json.dumps(line), flush=True)
 
     def run(name, fn, *a, **kw):
+        # Global deadline: never START a config past it; whatever
+        # completed still reaches the summary JSON.
+        if _elapsed() > _deadline_s():
+            skipped.append(name)
+            print(f"[bench] {name} SKIPPED (deadline "
+                  f"{_deadline_s():.0f}s exceeded at {_elapsed():.0f}s)",
+                  file=sys.stderr)
+            return
         # One retry: the tunnel's remote-compile service occasionally
         # drops a response mid-read (INTERNAL: read body ...) or leaves
         # the next program with a bare FAILED_PRECONDITION; both clear
@@ -193,19 +268,28 @@ def main():
                 p50_txt = f"p50 {p50} ms/img, " if p50 is not None else ""
                 print(f"[bench] {name}: {r['per_image_ms']} ms/img "
                       f"({r['images_per_sec']} img/s, b={r['batch']}, "
-                      f"{p50_txt}compile {r['compile_s']}s)",
+                      f"{p50_txt}compile {r['compile_s']}s, "
+                      f"t={_elapsed():.0f}s)",
                       file=sys.stderr)
+                # re-flush the summary after EVERY completed config:
+                # the driver's record is whatever JSON line stdout last
+                # held when (if) it kills the process
+                if "thin_432x368_b1" in results:
+                    emit()
                 return
             except Exception as e:
                 print(f"[bench] {name} FAILED (attempt {attempt}): {e}",
                       file=sys.stderr)
                 if attempt == 1:
+                    if _elapsed() > _deadline_s():
+                        skipped.append(name)
+                        return
                     time.sleep(20)
 
-    # All 5 BASELINE.json configs (+ fast preset + realistic-activation
-    # configs) run by default; the persistent XLA cache makes repeat
-    # compiles cheap. Set TFPOSE_BENCH_QUICK=1 for just the thin
-    # headline pair.
+    # The two headline configs run first and the summary JSON is
+    # flushed immediately after them; remaining configs are ordered
+    # cheap-compile-first (CMU's conv HLO takes minutes to compile
+    # remotely) so a deadline cut loses the least information.
     run("thin_432x368_b1", bench_config,
         "mobilenet_thin", 432, 368, 4.0, 1, 128)
     run("thin_432x368_b16", bench_config,
@@ -214,43 +298,39 @@ def main():
     if not os.environ.get("TFPOSE_BENCH_QUICK"):
         run("v2small_368x368_b8", bench_config,
             "mobilenet_v2_small", 368, 368, 4.0, 8, 32)
-        run("thin_fast_432x368_b1", bench_config,
-            "mobilenet_thin", 432, 368, 4.0, 1, 128, fast=True)
         run("v2large_432x368_b1", bench_config,
             "mobilenet_v2_large", 432, 368, 4.0, 1, 128)
+        # realistic activations (decode is population-dependent)
+        run("decode_scene_432x368_b16", bench_decode_realistic)
+        root = os.path.dirname(os.path.abspath(__file__))
+        # realistic e2e: the trained checkpoint on rendered scene
+        # images, at the resolution it was trained for when the
+        # production-resolution (368) checkpoint exists
+        ckpt368 = os.path.join(root,
+                               "models/trained/thin368_coco/params.msgpack")
+        ckpt160 = os.path.join(root,
+                               "models/trained/thin160_synth/params.msgpack")
+        if os.path.exists(ckpt368):
+            run("thin_scene_ckpt_432x368_b16", bench_config,
+                "mobilenet_thin", 432, 368, 4.0, 16, 32,
+                params_path=ckpt368, scene_images=True)
+        elif os.path.exists(ckpt160):
+            run("thin_scene_ckpt_432x368_b16", bench_config,
+                "mobilenet_thin", 432, 368, 4.0, 16, 32,
+                params_path=ckpt160, scene_images=True)
         run("cmu_656x368_b1", bench_config,
             "cmu", 656, 368, 4.0, 1, 32, n_rep=4)
         # CMU saturates its MXU curve ~b=8 (etcs/architecture.md
         # roofline table); the batched config is the production one.
         run("cmu_656x368_b8", bench_config,
             "cmu", 656, 368, 4.0, 8, 16, n_rep=4)
-        # realistic activations (decode is population-dependent)
-        run("decode_scene_432x368_b16", bench_decode_realistic)
-        ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "models/trained/thin160_synth/params.msgpack")
-        if os.path.exists(ckpt):
-            run("thin_scene_ckpt_432x368_b16", bench_config,
-                "mobilenet_thin", 432, 368, 4.0, 16, 32,
-                params_path=ckpt, scene_images=True)
+        # vestigial fast-preset config (its edge evaporated in round 3;
+        # BASELINE.md) — opt-in only
+        if os.environ.get("TFPOSE_BENCH_FAST"):
+            run("thin_fast_432x368_b1", bench_config,
+                "mobilenet_thin", 432, 368, 4.0, 1, 128, fast=True)
 
-    head = results.get("thin_432x368_b1")
-    if head is None:
-        print(json.dumps({"metric": "error", "value": 0,
-                          "unit": "images/sec", "vs_baseline": 0}))
-        return
-    batched = results.get("thin_432x368_b16", head)
-    print(json.dumps({
-        "metric": "images_per_sec_per_chip_mobilenet_thin_432x368",
-        "value": head["images_per_sec"],
-        "unit": "images/sec",
-        "vs_baseline": round(
-            head["images_per_sec"] / BASELINE_IMAGES_PER_SEC, 2),
-        "p50_latency_ms": head.get("device_p50_ms",
-                                   head["per_image_ms"]),
-        "throughput_slope_ms": head["per_image_ms"],
-        "batched_images_per_sec": batched["images_per_sec"],
-        "configs": results,
-    }))
+    emit()
 
 
 if __name__ == "__main__":
