@@ -97,7 +97,12 @@ def test_saturation_surfaced_on_all_inference_paths():
     from tfpose_tpu.evaluation.sweep import BatchedEvaluator
     from tfpose_tpu.pipeline.video import VideoPipeline
 
-    params = DecodeParams(max_peaks=2, thresh_heat=-1.0)
+    # escalation off: this test checks the SURFACING contract in
+    # isolation (with default-on adaptive-K escalation the saturation
+    # would be resolved by the K=128 re-decode and nothing surfaces —
+    # that path is covered by test_escalation_resolves_saturation)
+    params = DecodeParams(max_peaks=2, thresh_heat=-1.0,
+                          escalate_on_saturation=False)
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (80, 96, 3), np.uint8)
 
@@ -133,3 +138,67 @@ def test_saturation_surfaced_on_all_inference_paths():
     ev.run_batch(np.stack([img, img]))
     assert ev.last_peak_saturated is not None
     assert ev.last_peak_saturated.any() and ev._warned_saturation
+
+
+def test_escalation_resolves_saturation_with_identical_poses():
+    """Round-3 verdict #5: under crowding the capped path used to decode
+    DIFFERENT inputs than the reference's unbounded scan and only warn.
+    With escalate_on_saturation (default True) the estimator re-decodes
+    through the large-K pipeline: the poses must equal a direct decode
+    at the escalated K, and no saturation remains surfaced."""
+    from tfpose_tpu.core.config import DecodeParams
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (80, 96, 3), np.uint8)
+
+    # max_peaks=1 at thresh 0.0 genuinely saturates several parts on a
+    # random-init net (measured: 8/18), and K=64 resolves it — unlike a
+    # negative threshold, which marks even NMS-suppressed zero cells
+    # valid and can never be resolved by a larger K
+    low = DecodeParams(max_peaks=1, thresh_heat=0.0,
+                       escalated_max_peaks=64, escalated_max_humans=48)
+    e = TfPoseEstimator("mobilenet_thin", target_size=(96, 80),
+                        decode_params=low)
+    humans = e.inference(img, resize_to_default=False, upsample_size=2.0)
+    # escalation resolved the cap: the final decode did not saturate
+    assert e.last_peak_saturated is not None
+    assert not e.last_peak_saturated.any()
+
+    # direct decode at the escalated K (same weights) must agree exactly
+    e_big = TfPoseEstimator(
+        "mobilenet_thin", target_size=(96, 80),
+        decode_params=low.escalated())
+    e_big.variables = e.variables
+    ref = e_big.inference(img, resize_to_default=False, upsample_size=2.0)
+    assert len(humans) == len(ref)
+    for h, r in zip(humans, ref):
+        assert set(h.body_parts) == set(r.body_parts)
+        for p, bp in h.body_parts.items():
+            assert bp.x == r.body_parts[p].x
+            assert bp.y == r.body_parts[p].y
+
+    # batched path escalates too
+    results = e.inference_batch([img, img], upsample_size=2.0)
+    assert not e.last_peak_saturated.any()
+    for hl in results:
+        assert len(hl) == len(ref)
+
+
+def test_estimator_is_garbage_collected():
+    """Round-3 verdict weak #4: the jitted-pipeline cache must be
+    instance-scoped. The old class-level ``functools.lru_cache`` keyed
+    entries on ``self``, pinning every estimator ever constructed (with
+    its params and compiled executables) until LRU eviction; a weakref
+    must die once the instance is deleted."""
+    import gc
+    import weakref
+
+    e = TfPoseEstimator("mobilenet_thin", target_size=(96, 80))
+    img = np.zeros((80, 96, 3), np.uint8)
+    e.inference(img, resize_to_default=False, upsample_size=2.0)
+    e.inference_batch([img, img], upsample_size=2.0)
+    assert e._jit_cache  # pipelines were built and cached
+    ref = weakref.ref(e)
+    del e
+    gc.collect()
+    assert ref() is None, "estimator leaked via a class-level cache"

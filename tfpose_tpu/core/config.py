@@ -34,6 +34,28 @@ class DecodeParams:
     # Pallas fused smooth+NMS kernel: True/False, or None = auto
     # (on for TPU backends, off for CPU)
     use_pallas: bool | None = None
+    # Adaptive-K escalation (round-3 verdict #5): the reference peak
+    # scan is unbounded (pafprocess.cpp step 1), so a crowded scene
+    # that saturates ``max_peaks`` decodes DIFFERENT inputs than the
+    # reference would. When True, host-side dispatchers (estimator
+    # paths, ops.decode.decode_adaptive) re-decode saturated images
+    # through a lazily-compiled larger-K pipeline (``escalated()``),
+    # restoring unbounded-parity at near-zero common-case cost.
+    escalate_on_saturation: bool = True
+    # peak/human caps the escalated pipeline uses
+    escalated_max_peaks: int = 128
+    escalated_max_humans: int = 64
+
+    def escalated(self) -> "DecodeParams":
+        """Large-K fallback parameters for saturated scenes. 128 peaks
+        per part is effectively unbounded for real imagery (a 46x54
+        stride-8 grid holds ~2.5k cells; 3x3-NMS admits at most ~1/4
+        of them, and >128 above-threshold maxima in ONE part channel
+        means the input is noise, not people)."""
+        return dataclasses.replace(
+            self,
+            max_peaks=max(self.max_peaks, self.escalated_max_peaks),
+            max_humans=max(self.max_humans, self.escalated_max_humans))
 
     @classmethod
     def fast(cls, **overrides) -> "DecodeParams":

@@ -15,7 +15,10 @@ Recipes (cycled per scene index):
   ties             heat quantized to 1/64 -> exact score ties
   near_heat        peaks scaled to hover at the NMS heat threshold
   near_paf         PAF magnitudes scaled to hover at criterion-1 edge
-  cap_saturated    max_peaks=4 with 8 people (truncation parity)
+  cap_saturated    max_peaks=4 with 8 people: saturation triggers the
+                   adaptive-K escalation (decode_adaptive), which is
+                   then checked for FULL parity against the unbounded
+                   oracle (round-3 verdict #5)
 
 Every scene is decoded by the JAX production path and the NumPy
 oracle; scenes on default params are optionally cross-checked against
@@ -109,10 +112,10 @@ def _cap_peaks(peaks: np.ndarray, k: int) -> np.ndarray:
     """Keep only the top-k peaks per part plane (score order), zeroing
     the rest. The oracle implements the reference's UNCAPPED dynamic
     peak lists; the production path's ``max_peaks`` cap keeps top-K by
-    score (ops/nms.py:49). Under saturation the two legitimately
-    diverge, so saturation-parity is tested on the capped common peak
-    set — what remains checks greedy/assembly under crowding, which is
-    the order-dependent part."""
+    score (ops/nms.py:49). The sweep caps the oracle at whatever K the
+    production path EFFECTIVELY used (the escalated K when saturation
+    triggered adaptive escalation — 128, which no recipe's per-part
+    population reaches, i.e. unbounded in practice)."""
     out = np.zeros_like(peaks)
     for p in range(peaks.shape[2]):
         plane = peaks[:, :, p]
@@ -147,9 +150,21 @@ def _oracle_humans(net, params, up_h=UP_H, up_w=UP_W):
 
 
 def _jax_humans(net, params, up_h=UP_H, up_w=UP_W):
-    from tfpose_tpu.ops.decode import decode_jit
+    humans, _ = _jax_humans_adaptive(
+        net, dataclasses.replace(params, escalate_on_saturation=False),
+        up_h, up_w)
+    return humans
 
-    out = decode_jit(net, up_h, up_w, params)
+
+def _jax_humans_adaptive(net, params, up_h=UP_H, up_w=UP_W):
+    """Production decode with the host-side adaptive-K dispatch
+    (ops.decode.decode_adaptive). Returns (humans, escalated): when a
+    scene saturates the peak cap and escalates, the caller must score
+    the oracle at the ESCALATED cap — that is the program that
+    actually decoded the scene."""
+    from tfpose_tpu.ops.decode import decode_adaptive
+
+    out, escalated = decode_adaptive(net, up_h, up_w, params)
     coords = np.asarray(out.coords)
     scores = np.asarray(out.part_scores)
     pvalid = np.asarray(out.part_valid)
@@ -166,7 +181,7 @@ def _jax_humans(net, params, up_h=UP_H, up_w=UP_W):
                             int(round(coords[hi, p, 1] * up_h)),
                             float(scores[hi, p]))
         humans.append((parts, float(hscores[hi])))
-    return humans
+    return humans, escalated
 
 
 def _cpp_humans(net, up_h=UP_H, up_w=UP_W):
@@ -222,6 +237,36 @@ def compare(ref_humans, out_humans, tol_px: int = 0,
     return None
 
 
+def pair_deviation(ref_humans, out_humans) -> Tuple[float, int]:
+    """(sum of |Δpx|, #keypoint pairs) between two human sets, greedy-
+    matched by mean part distance over shared parts. Feeds the
+    BASELINE "<1 px mean keypoint deviation" number for the decode
+    path vs the NumPy oracle (round-3 verdict missing #2a): deviation
+    is measured in px at decode resolution over every part both
+    decoders produced."""
+    remaining = list(out_humans)
+    dev_sum, n = 0.0, 0
+    for rparts, _ in ref_humans:
+        best_d, best_i = None, -1
+        for ji, (jparts, _) in enumerate(remaining):
+            shared = set(rparts) & set(jparts)
+            if not shared:
+                continue
+            d = np.mean([np.hypot(rparts[p][0] - jparts[p][0],
+                                  rparts[p][1] - jparts[p][1])
+                         for p in shared])
+            if best_d is None or d < best_d:
+                best_d, best_i = d, ji
+        if best_i < 0:
+            continue
+        jparts, _ = remaining.pop(best_i)
+        for p in set(rparts) & set(jparts):
+            dev_sum += float(np.hypot(rparts[p][0] - jparts[p][0],
+                                      rparts[p][1] - jparts[p][1]))
+            n += 1
+    return dev_sum, n
+
+
 @dataclasses.dataclass
 class SweepStats:
     total: int = 0
@@ -231,14 +276,22 @@ class SweepStats:
     cpp_total: int = 0
     cpp_mismatch: int = 0
     examples: List[str] = dataclasses.field(default_factory=list)
+    dev_px_sum: float = 0.0
+    dev_px_n: int = 0
 
     @property
     def mismatch_total(self) -> int:
         return sum(self.mismatches.values())
 
+    @property
+    def mean_px_deviation(self) -> float:
+        return (self.dev_px_sum / self.dev_px_n if self.dev_px_n
+                else float("nan"))
+
     def as_dict(self):
         return dataclasses.asdict(self) | {
-            "mismatch_total": self.mismatch_total}
+            "mismatch_total": self.mismatch_total,
+            "mean_px_deviation": self.mean_px_deviation}
 
 
 def run_sweep(n_scenes: int, seed0: int = 0, cpp_every: int = 0,
@@ -248,9 +301,19 @@ def run_sweep(n_scenes: int, seed0: int = 0, cpp_every: int = 0,
         recipe = RECIPES[idx % len(RECIPES)]
         rng = np.random.default_rng(seed0 + idx)
         net, params = _scene(rng, recipe)
-        ref = _oracle_humans(net, params)
-        out = _jax_humans(net, params)
+        out, escalated = _jax_humans_adaptive(net, params)
+        # when the production path escalated, the oracle must be
+        # capped at the ESCALATED K (effectively unbounded: 128 >> any
+        # per-part peak population these scenes produce) — this is
+        # exactly the reference's unbounded-scan behavior, so the
+        # cap_saturated recipe now checks full unbounded-parity
+        # (round-3 verdict #5) instead of truncation-parity
+        ref = _oracle_humans(net,
+                             params.escalated() if escalated else params)
         reason = compare(ref, out)
+        ds, dn = pair_deviation(ref, out)
+        stats.dev_px_sum += ds
+        stats.dev_px_n += dn
         stats.total += 1
         n, bad = stats.per_recipe.get(recipe, [0, 0])
         bad_inc = 0
@@ -322,9 +385,14 @@ def run_ckpt_sweep(n_scenes: int, params_path: str,
         people = random_people(rng, int(rng.integers(1, 5)), h, w)
         img = render_image(people, h, w, rng=rng, joint_radius=6)
         out = np.asarray(fwd(jnp.asarray(img)), np.float32)
-        ref = _oracle_humans(out, DEFAULT, up_h, up_w)
-        jx = _jax_humans(out, DEFAULT, up_h, up_w)
+        jx, escalated = _jax_humans_adaptive(out, DEFAULT, up_h, up_w)
+        ref = _oracle_humans(
+            out, DEFAULT.escalated() if escalated else DEFAULT,
+            up_h, up_w)
         reason = compare(ref, jx)
+        ds, dn = pair_deviation(ref, jx)
+        stats.dev_px_sum += ds
+        stats.dev_px_n += dn
         stats.total += 1
         n, bad = stats.per_recipe.get("ckpt_real", [0, 0])
         bad_inc = 0
@@ -372,7 +440,9 @@ def main(argv=None):
             n, cpp_every=10,
             progress=lambda i, s: print(
                 f"[{i}/{n}] mismatches={s.mismatch_total} "
-                f"cpp={s.cpp_mismatch}/{s.cpp_total}", file=sys.stderr))
+                f"cpp={s.cpp_mismatch}/{s.cpp_total} "
+                f"dev={s.mean_px_deviation:.4g}px/{s.dev_px_n}",
+                file=sys.stderr))
     print(json.dumps(stats.as_dict(), indent=2))
 
 
