@@ -19,6 +19,7 @@ from tfpose_tpu.evaluation.coco_eval import (
     evaluate_oks_ap,
     evaluate_with_pycocotools,
     humans_to_detections,
+    mean_keypoint_deviation,
 )
 from tfpose_tpu.models import model_wh
 
@@ -64,6 +65,7 @@ def eval_coco(args, e):
     stats = evaluate_with_pycocotools(args.coco_json, dets)
     if stats is None:
         stats = evaluate_oks_ap(gts, dets)
+    stats.update(mean_keypoint_deviation(gts, dets))
     return stats
 
 
@@ -118,7 +120,9 @@ def eval_synthetic(args, e):
                     if xs else 1.0)
             glist.append({"keypoints": kp, "area": area})
         gts[idx] = glist
-    return evaluate_oks_ap(gts, dets)
+    stats = evaluate_oks_ap(gts, dets)
+    stats.update(mean_keypoint_deviation(gts, dets))
+    return stats
 
 
 def eval_synthetic_e2e(args):
@@ -163,7 +167,12 @@ def eval_synthetic_e2e(args):
                     if xs else 1.0)
             glist.append({"keypoints": kp, "area": area})
         gts[idx] = glist
-    return evaluate_oks_ap(gts, dets)
+    stats = evaluate_oks_ap(gts, dets)
+    # BASELINE accuracy clause: mean keypoint deviation in px at the
+    # network input resolution (GT and detections are both in input
+    # pixels here)
+    stats.update(mean_keypoint_deviation(gts, dets))
+    return stats
 
 
 def main(argv=None):

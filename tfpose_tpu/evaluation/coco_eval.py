@@ -152,6 +152,69 @@ def evaluate_oks_ap(gts: Dict[int, List[dict]], dts: List[dict],
     }
 
 
+def mean_keypoint_deviation(gts: Dict[int, List[dict]], dts: List[dict],
+                            oks_thresh: float = 0.5,
+                            max_dets: int = 20) -> Dict[str, float]:
+    """Mean keypoint pixel deviation over OKS-matched GT/detection
+    pairs — the accuracy clause of the BASELINE target ("<1 px mean
+    keypoint deviation", BASELINE.json / SURVEY §6), which until round
+    4 had never been computed in px (round-3 verdict missing #2).
+
+    Protocol: per image, detections sorted by score greedily claim the
+    best unmatched GT with OKS >= ``oks_thresh``; over the matched
+    pairs, every keypoint that is GT-visible (v>0) AND detected (v>0)
+    contributes its Euclidean distance in pixels (at the coordinate
+    resolution of ``gts``/``dts``, i.e. the evaluation image size).
+
+    Returns ``mean_px_deviation`` (NaN when nothing matched),
+    ``matched_keypoints``, ``matched_humans``, and
+    ``missed_keypoints`` (GT-visible keypoints of matched humans that
+    the detection lacks — dropped parts don't silently improve the
+    mean).
+    """
+    dt_by_img: Dict[int, List[dict]] = {}
+    for d in dts:
+        dt_by_img.setdefault(d["image_id"], []).append(d)
+
+    dev_sum, n_kp, n_h, n_missed = 0.0, 0, 0, 0
+    for img_id, dets in dt_by_img.items():
+        dets = sorted(dets, key=lambda d: -d["score"])[:max_dets]
+        gt_list = gts.get(img_id, [])
+        if not gt_list:
+            continue
+        gt_kps = [np.asarray(g["keypoints"], np.float64).reshape(17, 3)
+                  for g in gt_list]
+        gt_areas = [float(g.get("area", 1.0)) for g in gt_list]
+        used = np.zeros(len(gt_list), bool)
+        for det in dets:
+            dt_kp = np.asarray(det["keypoints"], np.float64).reshape(17, 3)
+            best, best_gi = oks_thresh, -1
+            for gi in range(len(gt_list)):
+                if used[gi]:
+                    continue
+                o = oks(gt_kps[gi], gt_areas[gi], dt_kp)
+                if o >= best:
+                    best, best_gi = o, gi
+            if best_gi < 0:
+                continue
+            used[best_gi] = True
+            gt_kp = gt_kps[best_gi]
+            both = (gt_kp[:, 2] > 0) & (dt_kp[:, 2] > 0)
+            miss = (gt_kp[:, 2] > 0) & ~(dt_kp[:, 2] > 0)
+            d = np.hypot(gt_kp[both, 0] - dt_kp[both, 0],
+                         gt_kp[both, 1] - dt_kp[both, 1])
+            dev_sum += float(d.sum())
+            n_kp += int(both.sum())
+            n_missed += int(miss.sum())
+            n_h += 1
+    return {
+        "mean_px_deviation": (dev_sum / n_kp) if n_kp else float("nan"),
+        "matched_keypoints": n_kp,
+        "matched_humans": n_h,
+        "missed_keypoints": n_missed,
+    }
+
+
 def evaluate_with_pycocotools(gt_json: str, dets: List[dict]
                               ) -> Optional[Dict[str, float]]:
     """Use pycocotools when present (exact reference numbers)."""

@@ -175,6 +175,7 @@ def main(argv=None):
     logger.info("mesh: %s over %d devices", dict(mesh.shape), n_dev)
 
     rng = np.random.default_rng(0)
+    prefetch_wrap = False
     if args.remote_data:
         from tfpose_tpu.train.dataworker import RemoteBatches
         addrs = [(hp.rsplit(":", 1)[0], int(hp.rsplit(":", 1)[1]))
@@ -197,6 +198,7 @@ def main(argv=None):
                     augment=not args.no_augment, seed=ep)
                 ep += 1
         batches = datum_epochs()
+        prefetch_wrap = True
     elif args.synthetic or not args.coco_json:
         if args.device_targets:
             batches = synthetic_joint_batches(
@@ -227,6 +229,13 @@ def main(argv=None):
                                        seed=ep)
                 ep += 1
         batches = epochs()
+        prefetch_wrap = True
+
+    if prefetch_wrap and args.prefetch:
+        # overlap host-side image read + augment + rasterize with the
+        # device step (the synthetic branches already prefetch)
+        from tfpose_tpu.train.dataset import PrefetchIterator
+        batches = iter(PrefetchIterator(batches, depth=args.prefetch))
 
     from tfpose_tpu.train.summaries import (
         make_writer, write_prediction_panel, write_scalars)
