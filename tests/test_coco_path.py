@@ -247,3 +247,67 @@ def test_coco_path_trained_checkpoint_gate(tmp_path):
         "--synthetic-e2e", "25",
         "--params", ckpt + "/params.msgpack"])
     assert resumed["AP50"] >= 0.8, resumed
+
+
+def test_pose_dataset_device_targets_uint8_mode(tmp_path):
+    """--device-targets/--uint8-feed on the REAL path: the dataset
+    ships raw uint8 frames + NaN-padded stride-8 joints, and the
+    on-device rasterizer (targets_jax) reproduces the host
+    rasterizers' targets for the SAME joints. Cuts host feed CPU and
+    host->device bytes ~20x (the axon client leaks ~bytes transferred
+    per step — see CLAUDE.md; the reference's FIFOQueue likewise
+    shipped uint8, train.py:~95)."""
+    from tfpose_tpu.train.dataset import get_heatmap, get_vectormap
+    from tfpose_tpu.train.targets_jax import batch_targets
+
+    json_path, img_dir = write_synthetic_coco(str(tmp_path), 6,
+                                              wh=(96, 96), seed=4)
+    anns = load_coco_annotations(json_path, img_dir)
+    kw = dict(input_size=(64, 64), batch_size=3, augment=False,
+              seed=0)
+    host = next(iter(PoseDataset(anns, **kw)))
+    dev = next(iter(PoseDataset(anns, device_targets=True, uint8=True,
+                                **kw)))
+    assert dev["image"].dtype == np.uint8
+    assert dev["joints"].shape == (3, 8, 18, 2)
+    # same seed + no augment -> same underlying images/joints
+    np.testing.assert_allclose(
+        host["image"], dev["image"].astype(np.float32) / 256.0 - 0.5,
+        atol=1e-6)
+    # host rasterizers over the shipped joints == the host-mode batch
+    for b in range(3):
+        j = dev["joints"][b]
+        j = j[np.isfinite(j[:, 0, 0])]
+        np.testing.assert_allclose(
+            get_heatmap(j, 8, 8, sigma=1.0), host["heat"][b], atol=1e-5)
+        np.testing.assert_allclose(
+            get_vectormap(j, 8, 8, threshold=1.0), host["paf"][b],
+            atol=1e-5)
+    # and the ON-DEVICE rasterizer agrees on those joints (its own
+    # parity vs numpy is test_targets_jax.py; this pins the dataset's
+    # stride-8/NaN-padding contract into it)
+    t = batch_targets(dev["joints"], 8, 8, sigma=1.0, threshold=1.0)
+    np.testing.assert_allclose(np.asarray(t["heat"]), host["heat"],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t["paf"]), host["paf"],
+                               atol=1e-4)
+
+
+def test_coco_cli_device_targets_smoke(tmp_path):
+    """train.py CLI end-to-end with --device-targets --uint8-feed on
+    the disk path: the jitted step consumes uint8 frames + joints and
+    completes the run (loss-drop for this mode is pinned by
+    test_pose_dataset_device_targets_uint8_mode's target parity +
+    test_coco_path_learns_smoke)."""
+    import train as train_cli
+
+    json_path, img_dir = write_synthetic_coco(str(tmp_path), 12,
+                                              wh=(64, 64), seed=5)
+    state = train_cli.main([
+        "--coco-json", json_path, "--img-dir", img_dir,
+        "--model", "mobilenet_thin", "--input-size", "64x64",
+        "--batchsize", "8", "--lr", "4e-3", "--max-steps", "8",
+        "--log-every", "4", "--device-targets", "--uint8-feed",
+        "--prefetch", "2",
+    ])
+    assert int(state.step) == 8

@@ -215,7 +215,8 @@ class PoseDataset:
                  input_size: Tuple[int, int] = (368, 368),
                  batch_size: int = 8, augment: bool = True,
                  sigma: float = 8.0, paf_threshold: float = 1.0,
-                 seed: int = 0):
+                 seed: int = 0, device_targets: bool = False,
+                 uint8: bool = False, max_people: int = 8):
         self.anns = list(annotations)
         self.input_wh = input_size
         self.batch = batch_size
@@ -223,6 +224,15 @@ class PoseDataset:
         self.sigma = sigma
         self.paf_threshold = paf_threshold
         self.rng = np.random.default_rng(seed)
+        # device_targets: skip host rasterization; yield NaN-padded
+        # stride-8 'joints' for the train step's on-device
+        # targets_jax.batch_targets (train.py --device-targets).
+        # uint8: ship raw frames, normalize on device (1/4 the
+        # host->device bytes — see CLAUDE.md on the axon transfer
+        # leak; also the reference's FIFOQueue shipped uint8).
+        self.device_targets = device_targets
+        self.uint8 = uint8
+        self.max_people = max_people
 
     def _prepare(self, img: np.ndarray, joints: np.ndarray):
         """Augment (or fixed-resize) + rasterise stride-8 targets —
@@ -234,6 +244,12 @@ class PoseDataset:
             img, joints = aug.augment(img, joints, self.input_wh, self.rng)
         else:
             img, joints = aug.resize_fixed(img, joints, self.input_wh)
+        if self.device_targets:
+            padded = np.full((self.max_people, NUM_PARTS, 2), np.nan,
+                             np.float32)
+            n = min(len(joints), self.max_people)
+            padded[:n] = joints[:n] / 8.0
+            return img, padded, None
         w, h = self.input_wh
         hs, ws = h // 8, w // 8
         heat = get_heatmap(joints / 8.0, hs, ws, sigma=self.sigma / 8.0)
@@ -258,8 +274,12 @@ class PoseDataset:
                 imgs.append(img)
                 heats.append(heat)
                 pafs.append(paf)
-            yield {
-                "image": (np.stack(imgs).astype(np.float32) / 256.0 - 0.5),
-                "heat": np.stack(heats),
-                "paf": np.stack(pafs),
-            }
+            images = np.stack(imgs)
+            if not self.uint8:
+                images = images.astype(np.float32) / 256.0 - 0.5
+            if self.device_targets:
+                # 'heats' carries the padded joints in this mode
+                yield {"image": images, "joints": np.stack(heats)}
+            else:
+                yield {"image": images, "heat": np.stack(heats),
+                       "paf": np.stack(pafs)}

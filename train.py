@@ -195,7 +195,9 @@ def main(argv=None):
                 # identical augmentations/order every pass
                 yield from DatumPoseDataset(
                     reader, input_size=(w, h), batch_size=args.batchsize,
-                    augment=not args.no_augment, seed=ep)
+                    augment=not args.no_augment, seed=ep,
+                    device_targets=args.device_targets,
+                    uint8=args.uint8_feed)
                 ep += 1
         batches = datum_epochs()
         prefetch_wrap = True
@@ -226,7 +228,9 @@ def main(argv=None):
                 # identical augmentations/order every pass
                 yield from PoseDataset(anns, (w, h), args.batchsize,
                                        augment=not args.no_augment,
-                                       seed=ep)
+                                       seed=ep,
+                                       device_targets=args.device_targets,
+                                       uint8=args.uint8_feed)
                 ep += 1
         batches = epochs()
         prefetch_wrap = True
@@ -248,6 +252,8 @@ def main(argv=None):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        if image.dtype == jnp.uint8:  # --uint8-feed batches
+            image = image.astype(jnp.float32) / 256.0 - 0.5
         out = net.apply(variables, image, train=False)["concat_stage7"]
         return out[..., :19]  # heat channels lead the 57-ch concat
 
