@@ -31,6 +31,9 @@ def main(argv=None):
     parser.add_argument("--device-targets", action="store_true",
                         help="bench the on-device-rasterization step "
                              "(host ships joint coords only)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bench the mixed-precision step (bf16 "
+                             "network compute, fp32 params/opt/loss)")
     parser.add_argument("--host-feed-batches", type=int, default=8,
                         help="also time the host-side synthetic batch "
                              "generator over N batches (0 = skip)")
@@ -48,7 +51,8 @@ def main(argv=None):
     enable_compilation_cache()
     w, h = model_wh(args.input_size)
     b = args.batchsize
-    net = get_network(args.model)
+    net = get_network(args.model,
+                      dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     variables = net.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, h, w, 3), jnp.float32), train=True)
     tx = make_optimizer(1e-3)
@@ -88,6 +92,7 @@ def main(argv=None):
     result = {
         "model": args.model, "input": f"{w}x{h}", "batch": b,
         "device_targets": bool(args.device_targets),
+        "bf16": bool(args.bf16),
         "step_device_p50_ms": round(p50, 3),
         "images_per_sec_chip": round(b / p50 * 1e3, 1),
         "compile_s": round(compile_s, 1),

@@ -166,6 +166,29 @@ def test_committed_368_checkpoint_passes_e2e_gate():
     assert stats["AP50"] >= 0.8, stats
 
 
+_COMMITTED_BF16_CKPT = os.path.join(
+    os.path.dirname(__file__), "..", "models", "trained",
+    "thin160_coco_bf16", "params.msgpack")
+
+
+def test_committed_bf16_checkpoint_passes_e2e_gate():
+    """Always-on gate on the MIXED-PRECISION training path (round 4):
+    thin160_coco_bf16 was trained with ``--bf16`` (bf16 network
+    compute, fp32 params/Adam/BN-stats/loss) through the same real
+    COCO disk path and budget as the fp32 thin160_coco twin. bf16
+    gradient noise that blocked convergence, or a dtype leak into the
+    checkpoint (params must stay fp32), would fail this. Evaluated in
+    fp32 — bf16-trained checkpoints are precision-interchangeable."""
+    import eval as eval_cli
+
+    if not os.path.exists(_COMMITTED_BF16_CKPT):
+        pytest.skip("committed bf16 checkpoint missing")
+    stats = eval_cli.main([
+        "--model", "mobilenet_thin", "--resize", "160x160",
+        "--synthetic-e2e", "8", "--params", _COMMITTED_BF16_CKPT])
+    assert stats["AP50"] >= 0.6, stats
+
+
 _COMMITTED_V2S_CKPT = os.path.join(
     os.path.dirname(__file__), "..", "models", "trained",
     "v2small160_coco", "params.msgpack")

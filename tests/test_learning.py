@@ -91,6 +91,45 @@ def test_other_backbones_loss_decreases(model, steps, lr):
     assert last < first * 0.9, (model, first, last, losses)
 
 
+def test_bf16_mixed_precision_training_loss_decreases():
+    """``train.py --bf16`` semantics: the network computes in bf16
+    (MXU-native on TPU) while params, Adam state, BN statistics and the
+    stage-summed loss stay fp32. Asserts (a) the loss decreases like
+    the fp32 smoke, (b) every param leaf is STILL float32 after
+    updates — so bf16-trained checkpoints load interchangeably with
+    fp32 ones (flax param_dtype stays fp32; only compute dtype drops)."""
+    import jax
+    import jax.numpy as jnp
+
+    import train as train_cli
+    from tfpose_tpu.models import get_network
+    from tfpose_tpu.train.state import (
+        TrainState, make_optimizer, make_train_step)
+
+    h = w = 32
+    net = get_network("mobilenet_thin", dtype=jnp.bfloat16)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, h, w, 3)), train=True)
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(variables, tx)
+    step = jax.jit(make_train_step(net, tx))
+    rng = np.random.default_rng(0)
+    batches = train_cli.synthetic_batches(4, (w, h), rng)
+    losses = []
+    for i, batch in zip(range(30), batches):
+        state, metrics = step(state, jax.tree.map(
+            lambda a: jnp.asarray(a), batch))
+        losses.append(float(metrics["loss"]))
+    first = np.mean(losses[:3])
+    last = np.mean(losses[-3:])
+    assert last < first * 0.85, (first, last)
+    leaves = jax.tree.leaves(state.params)
+    assert all(leaf.dtype == jnp.float32 for leaf in leaves), \
+        sorted({str(leaf.dtype) for leaf in leaves})
+    assert float(metrics["loss"]) == pytest.approx(losses[-1])
+    assert metrics["loss"].dtype == jnp.float32
+
+
 _COMMITTED_CKPT = os.path.join(
     os.path.dirname(__file__), "..", "models", "trained",
     "thin160_synth", "params.msgpack")

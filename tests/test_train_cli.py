@@ -12,7 +12,9 @@ sys.path.insert(0, "/root/repo")
 
 def test_train_cli_remote_data_and_logdir(tmp_path):
     """train.main consuming batches from a dataworker, writing
-    TensorBoard event files, on a (data x spatial) mesh."""
+    TensorBoard event files, on a (data x spatial) mesh, with --bf16
+    mixed precision (the flag must compose with mesh sharding and the
+    remote-data feed; numeric learning proof is in test_learning.py)."""
     import train as train_cli
     from tfpose_tpu.train.dataworker import serve_batches
 
@@ -42,6 +44,7 @@ def test_train_cli_remote_data_and_logdir(tmp_path):
             "--mesh-data", "4", "--mesh-spatial", "2",
             "--remote-data", f"{host}:{port}",
             "--logdir", logdir,
+            "--bf16",
         ])
     finally:
         stop()

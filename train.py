@@ -104,6 +104,10 @@ def main(argv=None):
     parser.add_argument("--uint8-feed", action="store_true",
                         help="ship raw uint8 frames and normalize on "
                              "device (1/4 the host->device bytes)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed-precision training: bf16 compute "
+                             "in the network (MXU-native on TPU), fp32 "
+                             "params/optimizer/BN-stats/loss")
     parser.add_argument("--prefetch", type=int, default=2,
                         help="host-side batch prefetch depth (0 = off)")
     parser.add_argument("--device-targets", action="store_true",
@@ -141,7 +145,13 @@ def main(argv=None):
 
     enable_compilation_cache()
     w, h = model_wh(args.input_size)
-    net = get_network(args.model)
+    # --bf16: flax keeps params (and therefore Adam state) fp32; only
+    # the layer compute dtype drops to bf16. Loss/targets stay fp32
+    # (stage_l2_loss upcasts), BN statistics are computed in fp32 by
+    # flax regardless of dtype, and bf16 shares fp32's exponent range
+    # so no loss scaling is needed.
+    net = get_network(args.model,
+                      dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     variables = net.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, h, w, 3), jnp.float32), train=True)
     tx = make_optimizer(args.lr, args.decay_rate, args.decay_steps)
