@@ -117,11 +117,20 @@ def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
 
     net = get_network(model, dtype=jnp.bfloat16 if dtype == "bfloat16"
                       else jnp.float32)
-    variables = net.init(jax.random.PRNGKey(0),
-                         jnp.zeros((1, h, w, 3), jnp.float32), train=False)
+    # Init on the CPU backend at a small spatial size: conv/BN params
+    # are spatial-size-independent, and a remote init compile through
+    # the tunnel cost 150-330 s PER CONFIG in the cold-cache rehearsal
+    # (decode_scene, the one config with no net.init, had 21 s of
+    # overhead vs 150-330 s for the model configs). One device_put
+    # replaces all of it.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 96, 96, 3), jnp.float32),
+                             train=False)
     if params_path is not None:
         from tfpose_tpu.convert.checkpoint import load_params
         variables = load_params(params_path, variables)
+    variables = jax.device_put(variables, jax.devices()[0])
     params = DecodeParams.fast() if fast else DecodeParams()
     up_h, up_w = int(h / 8 * ratio), int(w / 8 * ratio)
 
