@@ -117,8 +117,10 @@ def bench_config(model, w, h, ratio, batch, scans, dtype="bfloat16",
 
     net = get_network(model, dtype=jnp.bfloat16 if dtype == "bfloat16"
                       else jnp.float32)
-    # Init on the CPU backend at a small spatial size: conv/BN params
-    # are spatial-size-independent, and a remote init compile through
+    # Init on the CPU backend at a small spatial size: this ASSUMES
+    # every benched model is fully convolutional (all registry models
+    # are — a spatially-shaped param would load wrong-shaped here and
+    # only fail at apply time), and a remote init compile through
     # the tunnel cost 150-330 s PER CONFIG in the cold-cache rehearsal
     # (decode_scene, the one config with no net.init, had 21 s of
     # overhead vs 150-330 s for the model configs). One device_put

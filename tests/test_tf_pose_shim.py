@@ -25,14 +25,35 @@ def test_reference_run_py_flow():
     from tf_pose.networks import get_graph_path, model_wh
 
     w, h = model_wh("96x80")
+    # no reference weights can exist in this sandbox, so the artifact
+    # path get_graph_path returns is absent -> opt into random init
+    # (without the flag the ctor raises; see test below)
     e = TfPoseEstimator(get_graph_path("mobilenet_thin"),
-                        target_size=(w, h))
+                        target_size=(w, h), allow_random_init=True)
     image = np.random.default_rng(0).integers(
         0, 255, (120, 160, 3), np.uint8)
     humans = e.inference(image, resize_to_default=True,
                          upsample_size=4.0)
     image = TfPoseEstimator.draw_humans(image, humans, imgcopy=False)
     assert image.shape == (120, 160, 3)
+
+
+def test_missing_artifact_path_fails_loudly():
+    """A typo'd checkpoint path must raise, not silently run a
+    random-init default network (the reference fails loudly too:
+    tf.gfile.GFile raises on a bad graph path, estimator.py:~310)."""
+    from tf_pose.estimator import TfPoseEstimator
+    from tf_pose.networks import model_name_from_path
+
+    with pytest.raises(FileNotFoundError):
+        TfPoseEstimator("models/graph/mobilenet_thin/graph_op.pb",
+                        target_size=(96, 80))  # typo'd filename
+    # an uninferable path raises even with random init allowed
+    with pytest.raises(ValueError):
+        TfPoseEstimator("models/graph/mobilnet_thn/graph_opt.pb",
+                        target_size=(96, 80), allow_random_init=True)
+    with pytest.raises(ValueError):
+        model_name_from_path("/tmp/nothing/here.pb")
 
 
 def test_reference_ctor_extra_args_accepted():

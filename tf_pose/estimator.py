@@ -24,22 +24,33 @@ logger = logging.getLogger("TfPoseEstimator")
 class TfPoseEstimator(_Base):
     def __init__(self, graph_path: str = "mobilenet_thin",
                  target_size: Tuple[int, int] = (320, 240),
-                 tf_config=None, trt_bool: bool = False, **kwargs):
+                 tf_config=None, trt_bool: bool = False,
+                 allow_random_init: bool = False, **kwargs):
         del tf_config, trt_bool  # reference args without a TPU meaning
-        model, params_path = _resolve(graph_path, target_size)
+        model, params_path = _resolve(graph_path, target_size,
+                                      allow_random_init)
         super().__init__(model=model, target_size=target_size,
                          params_path=params_path, **kwargs)
 
 
-def _resolve(graph_path: str,
-             target_size: Tuple[int, int]) -> Tuple[str, Optional[str]]:
+def _resolve(graph_path: str, target_size: Tuple[int, int],
+             allow_random_init: bool = False,
+             ) -> Tuple[str, Optional[str]]:
     from tf_pose.networks import model_name_from_path
 
     if not os.path.exists(graph_path):
         if os.sep not in graph_path:
             return graph_path, None  # a model name
-        # a reference-style artifact path that doesn't exist (no
-        # weights in this environment): infer the model, random init
+        # A reference-style artifact path that doesn't exist. The
+        # reference fails loudly here (tf.gfile.GFile raises,
+        # estimator.py:~310) — so do we, unless the caller explicitly
+        # opts into random init (this sandbox ships no reference
+        # weights; tests use allow_random_init=True).
+        if not allow_random_init:
+            raise FileNotFoundError(
+                f"model artifact {graph_path!r} does not exist; pass "
+                f"allow_random_init=True to run the inferred model "
+                f"with random weights instead")
         logger.warning("artifact %s not found; resolving model name "
                        "and running with random init", graph_path)
         return model_name_from_path(graph_path), None

@@ -25,10 +25,20 @@ def get_graph_path(model_name: str) -> str:
 
 
 def model_name_from_path(path: str) -> str:
-    """Infer the model name from a reference-style artifact path."""
+    """Infer the model name from a reference-style artifact path.
+
+    Raises ``ValueError`` when no registry model name appears in the
+    path: silently substituting a default would run the WRONG network
+    on a typo'd artifact path, which is worse than the reference's
+    loud failure on a bad graph path (``tf.gfile.GFile`` raises,
+    estimator.py:~310)."""
     p = path.replace("\\", "/")
     for name in _MODEL_NAMES:
         if f"/{name}/" in p or p.endswith(name):
             return name
     base = os.path.basename(os.path.dirname(p))
-    return base if base in _MODEL_NAMES else "mobilenet_thin"
+    if base in _MODEL_NAMES:
+        return base
+    raise ValueError(
+        f"cannot infer a model name from artifact path {path!r}; "
+        f"known models: {', '.join(_MODEL_NAMES)}")
