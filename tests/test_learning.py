@@ -153,8 +153,10 @@ def test_committed_checkpoint_passes_e2e_gate():
         pytest.skip("committed checkpoint missing")
     trained = eval_cli.main([
         "--model", "mobilenet_thin", "--resize", "160x160",
-        "--synthetic-e2e", "8", "--params", _COMMITTED_CKPT])
-    assert trained["AP50"] >= 0.6, trained
+        "--synthetic-e2e", "50", "--params", _COMMITTED_CKPT])
+    # measured 1.000 at 50 scenes (round 5); 0.95 is within noise of
+    # the measured value and a ~10% real regression cannot pass it
+    assert trained["AP50"] >= 0.95, trained
 
 
 @pytest.mark.skipif(not os.environ.get("TFPOSE_SLOW_TESTS"),
