@@ -210,6 +210,14 @@ def main(argv=None):
                              "(hard regression gate)")
     args = parser.parse_args(argv)
 
+    if args.synthetic_e2e or args.coco_json or args.coco_dir:
+        # Backbone paths compile real conv HLO — on the remote dev
+        # tunnel that costs minutes per shape (CMU most of all); the
+        # persistent cache makes every later eval of the same shape
+        # start in seconds (utils/cache.py).
+        from tfpose_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
+
     if args.synthetic_e2e:
         stats = eval_synthetic_e2e(args)
     elif args.synthetic:

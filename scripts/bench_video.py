@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Measure the STREAMING video driver (BASELINE config 4: "Video
+stream pipeline: device-side resize/normalize + mobilenet_v2_large at
+30 fps multi-person").
+
+Round-4 verdict missing #3: config 4 was certified by b=1 program
+latency (0.659 ms -> 1517 "FPS"), but ``pipeline/video.py``'s depth-N
+double-buffering — the rebuild's explicit answer to the reference's
+fully-serial frame loop (``run_webcam.py``, SURVEY §3.2 "no
+pipelining") — had never been RUN and measured as the driver it is.
+This script feeds it a synthetic stream and reports achieved fps at
+depths {0(serial), 1, 2, 4}.
+
+HONESTY NOTE (tunnel-RTT bound): in this dev environment every
+host<->device round trip costs ~35-40 ms, so the SERIAL loop is
+RTT-bound at ~25 fps regardless of model, and the pipelined wall fps
+measures how much of that RTT the depth-N overlap hides — the RATIO
+pipelined/serial is the signal, as with serving (etcs/serving.md).
+The device-side frame cost (the number that survives to production,
+where the host is adjacent to the chip) is bench.py's
+``v2large_432x368_b1`` device p50 (0.66 ms/img = 1500+ fps); the 30
+fps target sizes the per-frame budget at 33 ms, which even the
+RTT-bound serial loop here approaches and the pipelined driver clears.
+
+Usage: python scripts/bench_video.py [--frames 300] [--model
+mobilenet_v2_large] [--out etcs/video_fps_r5.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def make_frames(n, w, h, seed=3):
+    """Rendered multi-person scene frames (realistic decode load)."""
+    from tfpose_tpu.utils import synthetic
+
+    rng = np.random.default_rng(seed)
+    frames = []
+    for _ in range(min(n, 32)):
+        people = synthetic.random_people(rng, int(rng.integers(1, 4)),
+                                         h, w)
+        frames.append(synthetic.render_image(people, h, w, rng,
+                                             joint_radius=6))
+    # cycle a 32-frame pool out to n (fresh numpy arrays per frame so
+    # host-side costs are not unrealistically cached)
+    return [frames[i % len(frames)].copy() for i in range(n)]
+
+
+def run_serial(e, frames, ratio):
+    """The reference's loop shape (run_webcam.py): one frame fully
+    in, humans fully out, before the next frame starts."""
+    t0 = time.perf_counter()
+    n_humans = 0
+    for f in frames:
+        n_humans += len(e.inference(f, resize_to_default=False,
+                                    upsample_size=ratio))
+    wall = time.perf_counter() - t0
+    return wall, n_humans
+
+
+def run_pipelined(e, frames, ratio, depth):
+    from tfpose_tpu.pipeline.video import VideoPipeline
+
+    pipe = VideoPipeline(e, upsample_size=ratio, depth=depth)
+    t0 = time.perf_counter()
+    n_humans = 0
+    for _frame, humans in pipe.run(iter(frames)):
+        n_humans += len(humans)
+    wall = time.perf_counter() - t0
+    return wall, n_humans
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=300)
+    parser.add_argument("--model", type=str,
+                        default="mobilenet_v2_large")
+    parser.add_argument("--resize", type=str, default="432x368")
+    parser.add_argument("--ratio", type=float, default=4.0)
+    parser.add_argument("--params", type=str, default="")
+    parser.add_argument("--out", type=str,
+                        default=os.path.join(ROOT, "etcs",
+                                             "video_fps_r5.json"))
+    args = parser.parse_args(argv)
+
+    from tfpose_tpu.estimator import TfPoseEstimator
+    from tfpose_tpu.models import model_wh
+    from tfpose_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    w, h = model_wh(args.resize)
+    e = TfPoseEstimator(args.model, target_size=(w, h),
+                        params_path=args.params or None)
+    frames = make_frames(args.frames, w, h)
+    # Warm up / compile outside the timed region — BOTH paths (the
+    # pipelined driver's jit signature is its own program; without
+    # this its compile lands inside the first depth's wall).
+    from tfpose_tpu.pipeline.video import VideoPipeline
+    e.inference(frames[0], resize_to_default=False,
+                upsample_size=args.ratio)
+    list(VideoPipeline(e, upsample_size=args.ratio,
+                       depth=2).run(iter(frames[:4])))
+
+    doc = {"config": "BASELINE config 4: streaming video driver",
+           "model": args.model, "resolution": args.resize,
+           "frames": args.frames,
+           "note": ("dev-tunnel numbers: ~35-40 ms RTT per round trip "
+                    "bounds the serial loop; the pipelined/serial "
+                    "RATIO is the signal (see script docstring)"),
+           "runs": {}}
+    wall, n = run_serial(e, frames, args.ratio)
+    serial_fps = args.frames / wall
+    doc["runs"]["serial"] = {"fps": round(serial_fps, 1),
+                             "wall_s": round(wall, 1), "humans": n}
+    print(f"[video] serial: {serial_fps:.1f} fps ({n} humans)",
+          file=sys.stderr)
+    for depth in (1, 2, 4):
+        wall, n = run_pipelined(e, frames, args.ratio, depth)
+        fps = args.frames / wall
+        doc["runs"][f"depth{depth}"] = {
+            "fps": round(fps, 1), "wall_s": round(wall, 1),
+            "humans": n,
+            "vs_serial": round(fps / serial_fps, 2)}
+        print(f"[video] depth={depth}: {fps:.1f} fps "
+              f"({fps / serial_fps:.2f}x serial, {n} humans)",
+              file=sys.stderr)
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
+    return doc
+
+
+if __name__ == "__main__":
+    main()

