@@ -1,60 +1,72 @@
 #!/usr/bin/env python
-"""BASELINE config 5, executed as ONE on-chip artifact: "COCO val
-keypoint eval sweep across all 4 backbones, bf16 batched inference on
-TPU mesh" (BASELINE.md, SURVEY.md §6).
+"""Execute BASELINE config 5 AS WRITTEN, as one on-chip artifact:
+"COCO val keypoint eval sweep across all 4 backbones, bf16 batched
+inference on TPU mesh" (BASELINE.md, SURVEY §6 config 5).
 
-For every deployed backbone family the reference ships weights for
-(``models/graph/{cmu,mobilenet_thin,mobilenet_v2_large,
-mobilenet_v2_small}/graph_opt.pb`` — SURVEY §2.4), run its committed
-trained checkpoint over the held-out scene set (the same seed-7
-distribution the e2e gates use; real COCO val cannot exist in this
-sandbox — BASELINE.md "Verification status") with bf16 batched
-inference sharded over a ``jax.sharding.Mesh`` data axis, and measure
-per-backbone {AP, AP50, mean_px_deviation, img/s} in one process.
+Round-4 verdict missing #2: every part of this config was tested in
+isolation (evaluation/sweep.py unit-tested, BatchedEvaluator in the
+8-device dryrun, per-backbone gates in test_coco_path.py) but the
+4-backbone sweep had never run on the chip as ONE measured command.
+This script is that command. For each deployed backbone family the
+reference ships weights for (SURVEY §2.4 models/graph/{cmu,
+mobilenet_thin, mobilenet_v2_large, mobilenet_v2_small}) it:
 
-Accuracy comes from ``evaluation.sweep.BatchedEvaluator`` on the mesh;
-throughput is the bench harness's differential-slope scan of the same
-checkpoint + bf16 + batch (tunnel-RTT-immune — see bench.py docstring).
+1. builds the bf16 BatchedEvaluator (fused forward+decode, one
+   program per batch — evaluation/sweep.py),
+2. loads the COMMITTED trained checkpoint (models/trained/*) at the
+   resolution it was trained for — no pretrained weights can exist in
+   this sandbox (SURVEY §0), so each family evaluates at its own
+   training resolution rather than the reference's uniform 432x368,
+3. scores the same 50 held-out seeded scenes as the always-on gates
+   (eval.py --synthetic-e2e rng; OKS AP + the BASELINE accuracy
+   clause's mean_px_deviation),
+4. measures throughput with the bench.py methodology
+   (utils.profiling.amortized_ms, differential scan — the only honest
+   wall number through the ~40 ms dev tunnel).
 
-Usage::
+Mesh note: this dev environment has ONE TPU chip, so the sweep runs
+unsharded on it; the SAME BatchedEvaluator runs mesh-sharded (data x
+spatial) in __graft_entry__.dryrun_multichip (with decode parity vs
+unsharded asserted) and tests/test_parallel.py — the artifact records
+both facts rather than pretending a mesh was here.
 
-    python scripts/sweep_backbones.py [--scenes 50] \
-        [--out etcs/sweep_r5.json]
+Missing checkpoints fail LOUDLY (round-5 shim principle) unless
+--allow-missing is passed.
 
-Missing checkpoints are reported in the JSON (``skipped``), not
-silently dropped — the artifact must witness the WHOLE zoo.
+Usage: python scripts/sweep_backbones.py [--scenes 50]
+       [--out etcs/sweep_backbones_r5.json]
 """
 
 import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-# (model, eval WxH, committed checkpoint) — each family's best
-# committed training artifact at its training/eval resolution.
+# (model, committed checkpoint, eval WxH, batch) — resolution is the
+# checkpoint's training regime (see models/trained/*/README.md)
 ZOO = [
-    ("mobilenet_thin", (432, 368), "models/trained/thin368_coco"),
-    ("mobilenet_v2_small", (160, 160), "models/trained/v2small160_coco"),
-    ("mobilenet_v2_large", (160, 160), "models/trained/v2large160_coco"),
-    ("cmu", (160, 160), "models/trained/cmu160_coco"),
+    ("cmu", "cmu160_coco", (160, 160), 8),
+    ("mobilenet_thin", "thin368_coco", (432, 368), 8),
+    ("mobilenet_v2_large", "v2large160_coco", (160, 160), 8),
+    ("mobilenet_v2_small", "v2small160_coco", (160, 160), 8),
 ]
 
 
-def held_out_scenes(n_scenes, w, h, batch):
-    """Seed-7 held-out scene set (the e2e gates' distribution —
-    eval.py eval_synthetic_e2e) as batched uint8 images + OKS GT."""
+def make_scenes(n, w, h):
+    """The SAME held-out scene generator as eval.py --synthetic-e2e
+    (seed 7, separated SPREAD_TEMPLATE people) so the sweep's AP is
+    directly comparable to the per-backbone gate numbers."""
     from tfpose_tpu.core.topology import COCO17_FROM_MODEL18
     from tfpose_tpu.utils import synthetic
 
     rng = np.random.default_rng(7)
     imgs, gts = [], {}
-    for idx in range(n_scenes):
+    for idx in range(n):
         n_people = int(rng.integers(1, 3))
         people = synthetic.random_people(
             rng, n_people, h, w, separated=True,
@@ -76,99 +88,119 @@ def held_out_scenes(n_scenes, w, h, batch):
                     if xs else 1.0)
             glist.append({"keypoints": kp, "area": area})
         gts[idx] = glist
-    while len(imgs) % batch:  # pad the tail batch
-        imgs.append(np.zeros_like(imgs[0]))
-    return np.stack(imgs), gts
+    return imgs, gts
 
 
-def sweep_one(model, wh, ckpt, n_scenes, batch, mesh):
-    from tfpose_tpu.evaluation.coco_eval import (
-        evaluate_oks_ap,
-        humans_to_detections,
-        mean_keypoint_deviation,
-    )
-    from tfpose_tpu.evaluation.sweep import BatchedEvaluator
+def throughput_img_s(ev, imgs):
+    """bench.py methodology: amortized per-image ms from a jitted
+    lax.scan over DISTINCT batches with a forced host transfer —
+    differential mode cancels the fixed tunnel RTT exactly."""
+    import jax.numpy as jnp
 
-    w, h = wh
-    imgs, gts = held_out_scenes(n_scenes, w, h, batch)
-    ev = BatchedEvaluator(model, (w, h), batch_size=batch,
-                          dtype="bfloat16", mesh=mesh)
-    ev.load_params(ckpt)
-    t0 = time.perf_counter()
-    dets = []
-    with mesh:
-        for i in range(0, imgs.shape[0], batch):
-            for j, humans in enumerate(ev.run_batch(imgs[i:i + batch])):
-                if i + j < n_scenes:
-                    dets.extend(humans_to_detections(
-                        humans, i + j, w, h))
-    eval_wall_s = time.perf_counter() - t0
-    stats = evaluate_oks_ap(gts, dets)
-    stats.update(mean_keypoint_deviation(gts, dets))
-    stats["eval_wall_s"] = round(eval_wall_s, 1)
+    from tfpose_tpu.utils.profiling import amortized_ms
 
-    # Throughput: the bench harness's scan-slope measurement of the
-    # same (checkpoint, bf16, batch) program on rendered scene images.
-    import bench
-    perf = bench.bench_config(model, w, h, 4.0, batch, scans=16,
-                              dtype="bfloat16", n_rep=4,
-                              params_path=ckpt, scene_images=True)
-    stats.update({
-        "images_per_sec": perf["images_per_sec"],
-        "per_image_ms": perf["per_image_ms"],
-        "device_p50_per_image_ms": perf.get("device_p50_per_image_ms"),
-        "batch": batch,
-        "resolution": f"{w}x{h}",
-        "checkpoint": os.path.relpath(ckpt, ROOT),
-    })
-    return stats
+    b = ev.batch
+    pool = [imgs[i % len(imgs)] for i in range(b * 8)]
+    xs = jnp.asarray(
+        np.stack([np.stack(pool[i * b:(i + 1) * b])
+                  for i in range(8)]), jnp.uint8)
+
+    def body(batch):
+        out = ev._fn(ev.variables, batch)
+        return out.human_scores.sum()  # forces forward AND decode
+
+    ms_per_batch = amortized_ms(body, xs)
+    return ms_per_batch / b
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--scenes", type=int, default=50)
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=0,
+                        help="override batch size for ALL backbones")
+    parser.add_argument("--models", type=str, default="",
+                        help="comma-separated subset (debug)")
+    parser.add_argument("--skip-throughput", action="store_true")
+    parser.add_argument("--allow-missing", action="store_true")
     parser.add_argument("--out", type=str,
-                        default=os.path.join(ROOT, "etcs",
-                                             "sweep_r5.json"))
+                        default=os.path.join(
+                            ROOT, "etcs", "sweep_backbones_r5.json"))
     args = parser.parse_args(argv)
 
-    import jax
-
-    from tfpose_tpu.parallel.mesh import make_mesh
     from tfpose_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    devices = jax.devices()
-    mesh = make_mesh(n_data=len(devices), n_spatial=1)
-    doc = {
-        "config": "BASELINE config 5: 4-backbone sweep, bf16 batched, "
-                  "TPU mesh",
-        "devices": [str(d) for d in devices],
-        "mesh": dict(mesh.shape),
-        "scenes": args.scenes,
-        "backbones": {},
-        "skipped": [],
-    }
-    for model, wh, ckpt_dir in ZOO:
-        ckpt = os.path.join(ROOT, ckpt_dir, "params.msgpack")
-        if not os.path.exists(ckpt):
-            doc["skipped"].append({"model": model, "missing": ckpt_dir})
-            print(f"[sweep] {model}: checkpoint MISSING ({ckpt_dir})",
+
+    import jax
+
+    from tfpose_tpu.evaluation.coco_eval import (evaluate_oks_ap,
+                                                 mean_keypoint_deviation)
+    from tfpose_tpu.evaluation.sweep import BatchedEvaluator
+
+    zoo = ZOO
+    if args.models:
+        wanted = set(args.models.split(","))
+        zoo = [z for z in ZOO if z[0] in wanted]
+    missing = [c for _, c, _, _ in zoo if not os.path.exists(
+        os.path.join(ROOT, "models", "trained", c, "params.msgpack"))]
+    if missing and not args.allow_missing:
+        raise FileNotFoundError(
+            f"committed checkpoints missing: {missing} — the config-5 "
+            "sweep is only meaningful over the full trained zoo "
+            "(pass --allow-missing to run the rest)")
+
+    doc = {"config": ("BASELINE config 5: keypoint eval sweep across "
+                      "all 4 backbones, bf16 batched inference"),
+           "device": str(jax.devices()[0]),
+           "scenes": args.scenes,
+           "dtype": "bfloat16 (network compute; decode fp32 as "
+                    "always — ops/decode.py casts)",
+           "mesh": ("1 TPU chip in this environment (unsharded); the "
+                    "same BatchedEvaluator runs data x spatial "
+                    "mesh-sharded with decode parity asserted in "
+                    "__graft_entry__.dryrun_multichip and "
+                    "tests/test_parallel.py"),
+           "throughput_method": ("utils.profiling.amortized_ms "
+                                 "differential scan over 8 distinct "
+                                 "batches (bench.py methodology; "
+                                 "cancels the ~40 ms dev-tunnel RTT)"),
+           "backbones": {}}
+    for model, ckpt, (w, h), batch in zoo:
+        if args.batch:
+            batch = args.batch
+        path = os.path.join(ROOT, "models", "trained", ckpt,
+                            "params.msgpack")
+        if not os.path.exists(path):
+            print(f"[sweep] SKIPPING {model} (missing {ckpt})",
                   file=sys.stderr)
             continue
-        t0 = time.perf_counter()
-        stats = sweep_one(model, wh, ckpt, args.scenes, args.batch,
-                          mesh)
-        stats["total_wall_s"] = round(time.perf_counter() - t0, 1)
-        doc["backbones"][model] = stats
-        print(f"[sweep] {model} @{stats['resolution']}: "
-              f"AP={stats.get('AP')} AP50={stats.get('AP50')} "
-              f"dev={stats.get('mean_px_deviation')}px "
-              f"{stats['images_per_sec']} img/s",
+        print(f"[sweep] {model} ({ckpt}, {w}x{h}, b={batch}, bf16)",
               file=sys.stderr)
-        with open(args.out, "w") as f:  # rolling flush per backbone
-            json.dump(doc, f, indent=1)
+        ev = BatchedEvaluator(model, (w, h), batch_size=batch,
+                              dtype="bfloat16")
+        ev.load_params(path)
+        imgs, gts = make_scenes(args.scenes, w, h)
+        dets = ev.evaluate((idx, img, (w, h))
+                           for idx, img in enumerate(imgs))
+        stats = evaluate_oks_ap(gts, dets)
+        stats.update(mean_keypoint_deviation(gts, dets))
+        row = {"checkpoint": f"models/trained/{ckpt}",
+               "resolution": f"{w}x{h}", "batch": batch,
+               "AP": round(stats["AP"], 4),
+               "AP50": round(stats["AP50"], 4),
+               "AP75": round(stats.get("AP75", 0.0), 4),
+               "AR": round(stats["AR"], 4),
+               "mean_px_deviation": round(
+                   stats["mean_px_deviation"], 3),
+               "matched_keypoints": stats["matched_keypoints"]}
+        if not args.skip_throughput:
+            ms = throughput_img_s(ev, imgs)
+            row["amortized_ms_per_img"] = round(ms, 4)
+            row["img_per_s"] = round(1000.0 / ms, 1)
+        doc["backbones"][model] = row
+        print(f"[sweep] {model}: {json.dumps(row)}", file=sys.stderr)
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
     print(json.dumps(doc))
     return doc
 
