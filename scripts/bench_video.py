@@ -11,16 +11,19 @@ pipelining") — had never been RUN and measured as the driver it is.
 This script feeds it a synthetic stream and reports achieved fps at
 depths {0(serial), 1, 2, 4}.
 
-HONESTY NOTE (tunnel-RTT bound): in this dev environment every
-host<->device round trip costs ~35-40 ms, so the SERIAL loop is
-RTT-bound at ~25 fps regardless of model, and the pipelined wall fps
-measures how much of that RTT the depth-N overlap hides — the RATIO
-pipelined/serial is the signal, as with serving (etcs/serving.md).
-The device-side frame cost (the number that survives to production,
-where the host is adjacent to the chip) is bench.py's
-``v2large_432x368_b1`` device p50 (0.66 ms/img = 1500+ fps); the 30
-fps target sizes the per-frame budget at 33 ms, which even the
-RTT-bound serial loop here approaches and the pipelined driver clears.
+HONESTY NOTE (tunnel bound): in this dev environment every
+host<->device round trip costs ~35-40 ms, and the SERIAL loop
+additionally hauls the full upsampled heatmap/PAF tensors (~9 MB fp32
+per frame at up=4 — what the reference's host-side C++ decode
+requires) back through the tunnel, so measured serial fps is a
+statement about the tunnel, not the chip (measured: 0.7 fps). The
+pipelined driver decodes ON DEVICE, fetches only the fixed-shape pose
+arrays, and overlaps dispatch with collect — the RATIO
+pipelined/serial is the signal (measured: 2.19x at depth=1), as with
+serving (etcs/serving.md). The device-side frame cost (the number
+that survives to production, where the host is adjacent to the chip)
+is bench.py's ``v2large_432x368_b1`` device p50 (0.66 ms/img = 2% of
+the 30-fps target's 33 ms frame budget).
 
 Usage: python scripts/bench_video.py [--frames 300] [--model
 mobilenet_v2_large] [--out etcs/video_fps_r5.json]
@@ -109,9 +112,12 @@ def main(argv=None):
     list(VideoPipeline(e, upsample_size=args.ratio,
                        depth=2).run(iter(frames[:4])))
 
+    import jax
     doc = {"config": "BASELINE config 4: streaming video driver",
            "model": args.model, "resolution": args.resize,
            "frames": args.frames,
+           "params": args.params or "(random init)",
+           "platform": jax.devices()[0].platform,
            "note": ("dev-tunnel numbers: ~35-40 ms RTT per round trip "
                     "bounds the serial loop; the pipelined/serial "
                     "RATIO is the signal (see script docstring)"),
