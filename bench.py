@@ -331,10 +331,11 @@ def main():
                 params_path=ckpt160, scene_images=True)
         run("cmu_656x368_b1", bench_config,
             "cmu", 656, 368, 4.0, 1, 32, n_rep=4)
-        # CMU saturates its MXU curve ~b=8 (etcs/architecture.md
-        # roofline table); the batched config is the production one.
-        run("cmu_656x368_b8", bench_config,
-            "cmu", 656, 368, 4.0, 8, 16, n_rep=4)
+        # The forward-only +3% at b=16 survives decode e2e: 294.7 vs
+        # 289.3 img/s at b=8, measured in one process
+        # (etcs/cmu_b16_r5.json) — b=16 is the production config.
+        run("cmu_656x368_b16", bench_config,
+            "cmu", 656, 368, 4.0, 16, 8, n_rep=4)
         # vestigial fast-preset config (its edge evaporated in round 3;
         # BASELINE.md) — opt-in only
         if os.environ.get("TFPOSE_BENCH_FAST"):
