@@ -9,7 +9,9 @@ isolation (evaluation/sweep.py unit-tested, BatchedEvaluator in the
 4-backbone sweep had never run on the chip as ONE measured command.
 This script is that command. For each deployed backbone family the
 reference ships weights for (SURVEY §2.4 models/graph/{cmu,
-mobilenet_thin, mobilenet_v2_large, mobilenet_v2_small}) it:
+mobilenet_thin, mobilenet_v2_large, mobilenet_v2_small}) — plus a
+fifth, beyond-parity row for mobilenet v1-full once its checkpoint
+landed (round 5; see the ZOO comment) — it:
 
 1. builds the bf16 BatchedEvaluator (fused forward+decode, one
    program per batch — evaluation/sweep.py),
@@ -48,12 +50,18 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 # (model, committed checkpoint, eval WxH, batch) — resolution is the
-# checkpoint's training regime (see models/trained/*/README.md)
+# checkpoint's training regime (see models/trained/*/README.md).
+# The first four are the deployed families config 5 names (the
+# reference's models/graph/); mobilenet (v1 width 1.0) is a FIFTH row
+# beyond the reference's shipped zoo — upstream defines the family
+# (network_mobilenet.py) but ships no v1-full graph_opt.pb, so its
+# row here is registry-completeness, not parity.
 ZOO = [
     ("cmu", "cmu160_coco", (160, 160), 8),
     ("mobilenet_thin", "thin368_coco", (432, 368), 8),
     ("mobilenet_v2_large", "v2large160_coco", (160, 160), 8),
     ("mobilenet_v2_small", "v2small160_coco", (160, 160), 8),
+    ("mobilenet", "v1full160_coco", (160, 160), 8),
 ]
 
 
@@ -151,6 +159,11 @@ def main(argv=None):
 
     doc = {"config": ("BASELINE config 5: keypoint eval sweep across "
                       "all 4 backbones, bf16 batched inference"),
+           "zoo_note": ("rows 1-4 are the deployed families config 5 "
+                        "names (the reference's models/graph/); the "
+                        "'mobilenet' row is a fifth, beyond-parity "
+                        "family — upstream defines v1-full but ships "
+                        "no weights for it (see ZOO comment)"),
            "device": str(jax.devices()[0]),
            "scenes": args.scenes,
            "dtype": "bfloat16 (network compute; decode fp32 as "
